@@ -1,0 +1,83 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode settings mirror what a multi-executor deployment would set via
+spark-submit: AQE on (runtime skew/coalesce re-planning), Arrow enabled for
+every pandas-UDF boundary, shuffle partitions sized to the parallelism
+rather than the 200 default, and a bounded Arrow batch size so that large
+``bytes`` (image payload) columns cannot blow up a single Arrow batch
+(SURVEY.md §7.3 item 4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "newsraag_crawler_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cpus: parallelism for local mode; defaults to $SPARK_GRAFT_CPUS or '*'.
+    shuffle_partitions: defaults to max(2*cpus, 32) — at cluster scale this
+        is instead sized so each shuffle partition stays well under executor
+        memory (AQE coalesces small ones back down).
+    """
+    if cpus is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        n = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cpus}]"
+        n = cpus
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * n, 32)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # image `bytes` columns: cap rows per Arrow batch so a batch of
+        # payloads stays ~tens of MB, not GBs (SURVEY.md §7.3.4)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the local-mode equivalent of
+    ``spark-submit --py-files pkg.zip``) so pandas-UDF closures that
+    reference package modules resolve on Python workers regardless of the
+    driver's cwd."""
+    import shutil
+    import tempfile
+
+    import newsraag_crawler_spark
+
+    pkg_dir = os.path.dirname(newsraag_crawler_spark.__file__)
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"newsraag_crawler_spark_pkg_{os.getpid()}"
+    )
+    zip_path = shutil.make_archive(
+        zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
+        base_dir="newsraag_crawler_spark",
+    )
+    spark.sparkContext.addPyFile(zip_path)

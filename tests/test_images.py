@@ -1,0 +1,57 @@
+"""Codec round-trips, PSNR comparator, phash determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from newsraag_crawler_spark.functions import images
+
+
+def test_png_roundtrip_exact():
+    img = images.synth_image(12345, 64, 48)
+    out = images.png_decode(images.png_encode(img))
+    assert np.array_equal(img, out)
+
+
+def test_lossy_roundtrip_psnr_over_40():
+    img = images.synth_image(999, 96, 96)
+    out = images.lossy_decode(images.lossy_encode(img))
+    p = images.psnr(img, out)
+    assert p >= 40.0, p
+    assert not np.array_equal(img, out)  # genuinely lossy
+
+
+def test_synth_image_deterministic():
+    a = images.synth_image(7, 40, 30)
+    b = images.synth_image(7, 40, 30)
+    c = images.synth_image(8, 40, 30)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_phash_stable_under_lossy():
+    img = images.synth_image(4242, 128, 128)
+    lossy = images.lossy_decode(images.lossy_encode(img))
+    h1, h2 = images.phash64(img), images.phash64(lossy)
+    # 6-bit quantization barely moves block means → hamming distance tiny
+    assert bin(h1 ^ h2).count("1") <= 4
+
+
+def test_psnr_udf(spark):
+    img = images.synth_image(1, 32, 32)
+    png = images.png_encode(img)
+    lsy = images.lossy_encode(img)
+    df = spark.createDataFrame(
+        [(bytearray(png), bytearray(png), "png"), (bytearray(lsy), bytearray(lsy), "jpeg")],
+        ["a", "b", "fmt"],
+    )
+    rows = df.select(images.psnr_udf()("a", "b", "fmt").alias("p")).collect()
+    assert all(r.p == float("inf") for r in rows)
+
+
+def test_image_stats_udf(spark):
+    img = images.synth_image(5, 50, 40)
+    df = spark.createDataFrame([(bytearray(images.png_encode(img)), "png")], ["bytes", "fmt"])
+    r = df.select(images.image_stats_udf()("bytes", "fmt").alias("s")).select("s.*").first()
+    assert (r.w, r.h) == (50, 40)
+    assert r.phash == images.phash64(img)
