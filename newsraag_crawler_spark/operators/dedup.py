@@ -1,0 +1,371 @@
+"""Dedup operators: exact seen-set, partitioned Bloom shards, content-hash,
+MinHash-LSH, SimHash, n-gram Jaccard, phash Hamming buckets.
+
+Reference semantics being generalized (SURVEY.md §2.4):
+- J1 raw-URL seen set (`duplicate_detector.py:13-66`) → ``anti_join_seen`` /
+  two-phase Bloom probe at scale
+- J2 persistent article-id set (`seen_tracker.py:45-51`) → the same family,
+  keyed on image_id
+- J3 content sha256 (`article_models.py:27-33`) → ``exact_dedup`` on
+  hashing.content_hash
+- J4 within-page link dedup → ``dropDuplicates`` after explode (wave.py)
+
+Scale design for the seen set (north_rule): the frontier anti-joins a
+``seen`` table — a shuffle on the dedup key at 10^10 rows. The Bloom path
+cuts that: per-shard Bloom bitsets (built once per wave, bytes per shard)
+broadcast to executors; probing is a broadcast join + vectorized bitset
+lookup, so only *possible* positives (tiny fraction) enter the exact
+anti-join shuffle. Bit positions are computed JVM-side (xxhash64 columns);
+Python only does numpy fancy indexing over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# exact seen set
+# ---------------------------------------------------------------------------
+
+
+def anti_join_seen(df: DataFrame, seen: DataFrame, key: str = "key") -> DataFrame:
+    """Rows of df whose key is NOT in seen (reference J1/J2 as a left-anti)."""
+    return df.join(seen.select(key), key, "left_anti")
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Keep the first row per key under a deterministic order (hash-groupBy
+    exact dedup; the order makes it reproducible at any parallelism)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# partitioned Bloom shards
+# ---------------------------------------------------------------------------
+
+_BLOOM_SCHEMA = StructType(
+    [
+        StructField("shard_id", IntegerType()),
+        StructField("n_bits", LongType()),
+        StructField("n_keys", LongType()),
+        StructField("bits", BinaryType()),
+    ]
+)
+
+
+def bloom_params(n_keys_per_shard: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(n_bits, n_hashes) for a target false-positive rate."""
+    n = max(n_keys_per_shard, 1)
+    m = int(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = max(64, (m + 63) // 64 * 64)
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 8)
+
+
+def _positions(key_col, n_bits: int, n_hashes: int):
+    """k bit positions as a JVM-computed array column (double hashing:
+    pos_i = (h1 + i*h2) mod m, h1/h2 from two xxhash64 seeds)."""
+    h1 = F.xxhash64(key_col, F.lit(1))
+    h2 = F.xxhash64(key_col, F.lit(2))
+    return F.array(
+        *[
+            F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)).cast("long")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def build_bloom_shards(
+    keys: DataFrame,
+    key: str = "key",
+    n_shards: int = 64,
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
+    expected_keys: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Build per-shard Bloom bitsets from a key column.
+
+    Returns (shard_id, n_bits, n_keys, bits). Shard routing is
+    murmur3(key) % n_shards — the same expression probes use. Building is a
+    single groupBy-applyInPandas over (shard_id); the bitset never exceeds
+    n_bits/8 bytes per shard.
+    """
+    if n_bits is None or n_hashes is None:
+        total = expected_keys or 1_000_000
+        n_bits, n_hashes = bloom_params(max(total // n_shards, 1), fpp)
+    nb, nh = n_bits, n_hashes
+
+    prepped = keys.select(
+        F.pmod(F.hash(F.col(key)), F.lit(n_shards)).cast("int").alias("shard_id"),
+        _positions(F.col(key), nb, nh).alias("pos"),
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(nb // 8, dtype=np.uint8)
+        pos = np.concatenate(pdf["pos"].values).astype(np.int64)
+        np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        sid = int(pdf["shard_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "n_bits": [nb],
+                "n_keys": [len(pdf)],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    return prepped.groupBy("shard_id").applyInPandas(_build, _BLOOM_SCHEMA)
+
+
+def probe_bloom(
+    df: DataFrame,
+    shards: DataFrame,
+    key: str = "key",
+    n_shards: int = 64,
+    n_bits: int = 0,
+    n_hashes: int = 0,
+) -> DataFrame:
+    """Add ``maybe_seen: boolean`` via broadcast-joined Bloom shards.
+
+    n_bits/n_hashes MUST match the build call (callers hold them — see
+    storage.snapshot_store lineage, which records them per shard set).
+    """
+    assert n_bits > 0 and n_hashes > 0, "pass the build-time n_bits/n_hashes"
+    nb = n_bits
+    nh = n_hashes
+
+    probed = df.withColumn(
+        "_shard_id", F.pmod(F.hash(F.col(key)), F.lit(n_shards)).cast("int")
+    ).withColumn("_pos", _positions(F.col(key), nb, nh))
+    joined = probed.join(
+        F.broadcast(shards.select(F.col("shard_id").alias("_shard_id"), "bits")),
+        "_shard_id",
+        "left",
+    )
+
+    @F.pandas_udf(BooleanType())
+    def _contains(bits: pd.Series, pos: pd.Series) -> pd.Series:
+        out = np.zeros(len(bits), dtype=bool)
+        for i, (b, p) in enumerate(zip(bits, pos)):
+            if b is None:
+                continue  # empty shard → definitely unseen
+            arr = np.frombuffer(b, dtype=np.uint8)
+            pp = np.asarray(p, dtype=np.int64)
+            out[i] = bool(np.all(arr[pp // 8] & (1 << (pp % 8).astype(np.uint8))))
+        return pd.Series(out)
+
+    return joined.withColumn("maybe_seen", _contains("bits", "_pos")).drop(
+        "bits", "_pos", "_shard_id"
+    )
+
+
+def seen_filter_two_phase(
+    df: DataFrame,
+    seen: DataFrame,
+    shards: DataFrame,
+    key: str = "key",
+    n_shards: int = 64,
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
+) -> DataFrame:
+    """EXACT seen filter with Bloom pre-filter (SURVEY.md §7.3.2).
+
+    Bloom-negative rows are definitely new (no shuffle for them); only
+    Bloom-positive rows (true positives + FPR) are exact-confirmed against
+    the seen table. Output = rows of df definitely not in seen.
+    """
+    probed = probe_bloom(df, shards, key, n_shards, n_bits, n_hashes)
+    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    candidates = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = candidates.join(seen.select(key), key, "left_anti")
+    return fresh.unionByName(confirmed_new)
+
+
+# ---------------------------------------------------------------------------
+# near-dup: MinHash-LSH / SimHash / n-gram Jaccard / phash buckets
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    shingle_col, num_hashes: int = 16, portable: bool = False
+) -> object:
+    """MinHash signature as array<bigint> over a shingle array column.
+
+    portable=True uses the md5-derived hash (matches DuckDB oracle);
+    portable=False uses xxhash64 (fast JVM path for 100 TB runs).
+    """
+    if portable:
+        from ..functions.hashing import portable_hash64
+
+        def h(i):
+            return lambda s: F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"mh{i}:"), s)), 1, 15), 16, 10
+            ).cast("long")
+        _ = portable_hash64  # documented pairing
+    else:
+
+        def h(i):
+            return lambda s: F.xxhash64(s, F.lit(i))
+
+    return F.array(
+        *[F.array_min(F.transform(shingle_col, h(i))) for i in range(num_hashes)]
+    )
+
+
+def lsh_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "sig",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: ids sharing ≥1 LSH band bucket.
+
+    band hash = xxhash64 over the band's slice of the signature; the
+    band-bucket join is the shuffle — candidates only, never all pairs.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col(sig_col), b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select("band", "bucket", F.col("_id").alias("id_a"))
+    right = banded.select("band", "bucket", F.col("_id").alias("id_b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingles",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs via explode + equi-join —
+    fully relational (scales: the join is on shingle, combiner-friendly).
+
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.array_distinct(F.col(shingle_col))).alias("_n"),
+        F.explode(F.array_distinct(F.col(shingle_col))).alias("sh"),
+    )
+    a = ex.select(F.col("_id").alias("id_a"), F.col("_n").alias("na"), "sh")
+    b = ex.select(F.col("_id").alias("id_b"), F.col("_n").alias("nb"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("shared"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(token_col) -> object:
+    """64-bit SimHash over a token array column (Arrow-vectorized UDF;
+    token hashing + bit-vote accumulation in numpy)."""
+
+    @F.pandas_udf(LongType())
+    def _simhash(tokens: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = np.zeros(len(tokens), dtype=np.int64)
+        for i, toks in enumerate(tokens):
+            if toks is None or len(toks) == 0:
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            for t in toks:
+                hv = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8", "ignore")).digest()[:8], "big"
+                )
+                bits = (hv >> np.arange(64)) & 1
+                votes += 2 * bits - 1
+            v = 0
+            for bit in (votes > 0)[::-1]:
+                v = (v << 1) | int(bit)
+            out[i] = v - (1 << 64) if v >= (1 << 63) else v
+        return pd.Series(out)
+
+    return _simhash(token_col)
+
+
+def phash_bucket_pairs(
+    df: DataFrame,
+    id_col: str,
+    phash_col: str = "phash",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup image pairs: band the 64-bit phash into ``bands`` chunks
+    (pigeonhole: hamming ≤ max ⇒ ≥1 identical chunk when bands > max/ (64/bands));
+    join on (band, chunk), verify exact Hamming ≤ max_hamming.
+    """
+    from ..functions.hashing import hamming64
+
+    width = 64 // bands
+    chunks = F.array(
+        *[
+            (F.shiftrightunsigned(F.col(phash_col), i * width) & ((1 << width) - 1))
+            for i in range(bands)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col).alias("_id"), F.col(phash_col).alias("_ph"),
+        F.posexplode(chunks).alias("band", "chunk"),
+    )
+    a = banded.select("band", "chunk", F.col("_id").alias("id_a"), F.col("_ph").alias("ph_a"))
+    b = banded.select("band", "chunk", F.col("_id").alias("id_b"), F.col("_ph").alias("ph_b"))
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return cand.withColumn("hamming", hamming64("ph_a", "ph_b")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

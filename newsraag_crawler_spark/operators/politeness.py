@@ -1,0 +1,130 @@
+"""Politeness: robots rules, per-host budgets, token-bucket scheduling.
+
+The reference's politeness is a per-source sleep
+(`/root/reference/crawler/utils/rate_limiter.py:10-32`,
+`base_template.py:156-163`) and it never reads robots.txt (SURVEY.md §2.7
+R7). At 10^10-URL scale politeness must be *declarative*: a budget and a
+deterministic schedule computed as columns, not sleeps.
+
+Operators:
+- ``apply_robots``     — drop (quarantine) URLs matching per-host disallow
+  prefixes; broadcast join on host.
+- ``budget_waves``     — per-host token bucket as pure column math: given
+  ``host_rank`` (from operators.frontier.priority_frontier), assign
+  ``wave_offset = floor((host_rank-1)/budget)`` and a deterministic
+  ``scheduled_at_s`` inside the wave from the host's crawl_delay. Rows with
+  wave_offset=0 fetch this wave; the rest SPILL back to the frontier —
+  politeness state that persists across waves by construction (fixes the
+  reference's reset-per-run bug-shape, SURVEY.md §7.3.5).
+- ``salt_hot_hosts``   — AFTER budgeting, split each scheduled host group
+  across ``n_salts`` shuffle keys when its wave row-count exceeds a
+  threshold (skew census), so one hot host cannot serialize a partition.
+  Budgets are computed BEFORE salting — per-host politeness is global even
+  when the host's rows are spread over many partitions (SURVEY.md §7.3.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_robots(
+    frontier: DataFrame,
+    policies: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> tuple[DataFrame, DataFrame]:
+    """Split frontier into (allowed, blocked) by robots disallow prefixes.
+
+    policies: (host, robots_disallow: array<string>) — dimension table,
+    broadcast (hosts ≪ URLs at any scale worth running Spark for).
+    """
+    joined = frontier.join(
+        F.broadcast(policies.select(host_col, "robots_disallow")), host_col, "left"
+    )
+    blocked_pred = F.exists(
+        F.coalesce(F.col("robots_disallow"), F.array()),
+        lambda pref: F.col(path_col).startswith(pref),
+    )
+    allowed = joined.filter(~blocked_pred).drop("robots_disallow")
+    blocked = joined.filter(blocked_pred).drop("robots_disallow")
+    return allowed, blocked
+
+
+def budget_waves(
+    ranked: DataFrame,
+    policies: DataFrame,
+    host_col: str = "host",
+    default_budget: int = 50,
+    default_delay_s: float = 1.0,
+) -> DataFrame:
+    """Token-bucket schedule as columns (no sleeps, no state machine).
+
+    ranked must carry ``host_rank`` (1-based, politeness-priority order).
+    Adds: per_wave_budget, crawl_delay_s, wave_offset, scheduled_at_s.
+    """
+    pol = F.broadcast(policies.select(host_col, "per_wave_budget", "crawl_delay_s"))
+    df = (
+        ranked.join(pol, host_col, "left")
+        .withColumn(
+            "per_wave_budget", F.coalesce("per_wave_budget", F.lit(default_budget))
+        )
+        .withColumn(
+            "crawl_delay_s", F.coalesce("crawl_delay_s", F.lit(default_delay_s))
+        )
+    )
+    r0 = F.col("host_rank") - 1
+    return df.withColumn(
+        "wave_offset", F.floor(r0 / F.col("per_wave_budget")).cast("int")
+    ).withColumn(
+        "scheduled_at_s",
+        (F.pmod(r0, F.col("per_wave_budget")) * F.col("crawl_delay_s")).cast("double"),
+    )
+
+
+def split_wave(budgeted: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(due_now, spill): wave_offset==0 fetches this wave; the rest return
+    to the frontier with wave_offset decremented on the next cycle."""
+    return (
+        budgeted.filter(F.col("wave_offset") == 0),
+        budgeted.filter(F.col("wave_offset") > 0),
+    )
+
+
+def skew_census(
+    scheduled: DataFrame, host_col: str = "host", threshold: int = 10_000
+) -> DataFrame:
+    """Hosts whose scheduled row-count exceeds the per-partition comfort
+    threshold, with the salt factor needed to spread them. Tiny output
+    (≤ #hot hosts) — safe to broadcast."""
+    return (
+        scheduled.groupBy(host_col)
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") > threshold)
+        .withColumn("n_salts", F.ceil(F.col("n_rows") / threshold).cast("int"))
+    )
+
+
+def salt_hot_hosts(
+    scheduled: DataFrame,
+    census: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """Add ``fetch_key``: host for cold hosts, host#salt for hot ones.
+
+    Salt is derived from the row's URL hash → deterministic, uniform.
+    Downstream repartitions on fetch_key, so a hot host spreads over
+    n_salts partitions while budgets (already assigned) stay per-host.
+    """
+    df = scheduled.join(
+        F.broadcast(census.select(host_col, "n_salts")), host_col, "left"
+    ).withColumn("n_salts", F.coalesce("n_salts", F.lit(1)))
+    salt = F.pmod(F.xxhash64(F.col(url_col)), F.col("n_salts"))
+    return df.withColumn(
+        "fetch_key",
+        F.when(F.col("n_salts") <= 1, F.col(host_col)).otherwise(
+            F.concat_ws("#", F.col(host_col), salt.cast("string"))
+        ),
+    ).drop("n_salts")

@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (array<float>).
+
+The reference's only vector op is a Qdrant cosine top-k query
+(`/root/reference/clients/qdrant_client.py:430-475`, SURVEY.md §2.4 J5).
+Here it becomes first-class:
+
+- ``cosine_topk``     — exact brute-force top-k: broadcast the (small) query
+  set against the corpus, dot/norm with built-in higher-order functions
+  (F.zip_with / F.aggregate — JVM-side, no Python), per-query window top-k.
+  The baseline and the verifier for the approximate path.
+- ``srp_bucket``      — signed-random-projection LSH bucket (deterministic
+  planes from a seed) via one vectorized numpy UDF; equal buckets are ANN
+  candidates. The scale path: bucket join instead of full cross product.
+- ``srp_topk``        — bucket-join candidates → exact cosine → top-k, with
+  multi-probe (0/1-bit flips) to trade recall for fan-out.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine_sim(a, b):
+    """Cosine similarity of two array<float/double> columns — built-ins only."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query (brute force, broadcast queries).
+
+    Scale note: cost is |corpus| × |queries| dot products, all JVM-side —
+    the right baseline whenever queries are few; for query sets that don't
+    broadcast, use srp_topk.
+    """
+    joined = corpus.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine_sim(F.col(vec_col), F.col(qvec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def srp_bucket(vec_col, n_bits: int = 16, dim: int = 32, seed: int = 42):
+    """Signed-random-projection bucket id (int) for a vector column.
+
+    Hyperplanes are a deterministic RNG(seed) matrix materialized once per
+    executor (module-level cache inside the UDF); the projection is one
+    numpy matmul per Arrow batch.
+    """
+
+    @F.pandas_udf(IntegerType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_bits))
+        out = np.zeros(len(vecs), dtype=np.int32)
+        if len(vecs):
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            signs = (mat @ planes) > 0
+            out = signs.dot(1 << np.arange(n_bits)).astype(np.int32)
+        return pd.Series(out)
+
+    return _bucket(vec_col)
+
+
+def srp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 12,
+    dim: int = 32,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: SRP bucket equi-join (multi-probe: exact bucket +
+    all 1-bit flips of the query bucket) → exact cosine on candidates."""
+    c = corpus.withColumn("bucket", srp_bucket(F.col(vec_col), n_bits, dim, seed))
+    q = queries.withColumn("_qb", srp_bucket(F.col(qvec_col), n_bits, dim, seed))
+    probes = F.array(
+        F.col("_qb"), *[F.col("_qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+    )
+    q = q.select(qid_col, qvec_col, F.explode(probes).alias("bucket"))
+    cand = c.join(F.broadcast(q), "bucket")
+    scored = cand.select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine_sim(F.col(vec_col), F.col(qvec_col)).alias("cosine"),
+    ).dropDuplicates([qid_col, id_col])
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

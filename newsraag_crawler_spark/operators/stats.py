@@ -1,0 +1,84 @@
+"""Metrics rollups — the reference's counters as aggregations.
+
+Maps SURVEY.md §2.5: cycle stats (A1/A2), success rate (A3), tumbling-window
+token rollups (A5), health rollups (A7), frame-spec trend windows (A8).
+All pure DataFrame aggregations; the reference's manual counter dicts
+(`/root/reference/monitoring/metrics.py:57-181`) become one groupBy each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cycle_stats(attempted: DataFrame) -> DataFrame:
+    """Per-source counters + rollup total line (A1: main.py:347-355).
+
+    attempted must carry (source_id, ok). The rollup's NULL source_id row is
+    the reference's "overall" summary line.
+    """
+    return (
+        attempted.rollup("source_id")
+        .agg(
+            F.count("*").alias("discovered"),
+            F.sum("ok").alias("processed"),
+            F.sum(1 - F.col("ok")).alias("failed"),
+        )
+        .withColumn(
+            "success_rate",
+            F.round(F.col("processed") / F.greatest(F.col("discovered"), F.lit(1)) * 100, 1),
+        )
+    )
+
+
+def status_pivot(df: DataFrame, group_col: str, status_col: str, statuses: list[str]) -> DataFrame:
+    """groupBy().pivot(status).count() — the metrics-registry table (A2)."""
+    return df.groupBy(group_col).pivot(status_col, statuses).count().na.fill(0)
+
+
+def daily_rollup(df: DataFrame, ts_col: str, value_col: str, keys: list[str]) -> DataFrame:
+    """Tumbling 1-day window sum — the reference's manual day-boundary reset
+    (token_tracker.py:43-55) IS a tumbling window (A5)."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), "1 day").alias("day"), *keys)
+        .agg(F.sum(value_col).alias("total"))
+        .select(F.col("day.start").alias("day"), *keys, "total")
+    )
+
+
+def host_health(fetch_log: DataFrame, failure_threshold: int = 3) -> DataFrame:
+    """Per-host health (A7: source_models.py:97-115): consecutive trailing
+    failures >= threshold ⇒ unhealthy. Consecutive-from-the-end = count of
+    rows after the last success (window max over success ranks)."""
+    w = Window.partitionBy("host").orderBy("fetched_rank")
+    ranked = fetch_log.withColumn(
+        "_last_ok_rank",
+        F.max(F.when(F.col("success"), F.col("fetched_rank"))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    return (
+        ranked.groupBy("host")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("fetched_rank") > F.coalesce(F.col("_last_ok_rank"), F.lit(-1)),
+                    1,
+                ).otherwise(0)
+            ).alias("consecutive_failures"),
+            F.avg(F.col("elapsed_s")).alias("avg_response_s"),
+        )
+        .withColumn("healthy", F.col("consecutive_failures") < failure_threshold)
+    )
+
+
+def trend_window(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
+    """A8 memory-trend frames: avg(last 5) vs avg(prev 5) growth ratio."""
+    w = Window.orderBy(order_col)
+    recent = F.avg(value_col).over(w.rowsBetween(-4, 0))
+    prev = F.avg(value_col).over(w.rowsBetween(-9, -5))
+    return df.withColumn("recent_avg", recent).withColumn(
+        "growth_ratio", recent / F.coalesce(prev, recent)
+    )

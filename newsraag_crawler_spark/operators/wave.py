@@ -1,0 +1,178 @@
+"""Crawl waves — the end-to-end pipeline (SURVEY.md §7.0).
+
+One wave = one reference crawl cycle (`/root/reference/main.py:280,571-649`)
+re-expressed as a batch dataflow:
+
+    frontier → canonicalize → robots → seen-filter → priority+budget →
+    (salt hot hosts) → FETCH (deterministic synthetic, Arrow-batched) →
+    link-expand → commit corpus+seen+frontier snapshots (+ lineage)
+
+Two drivers:
+- ``run_equivalence_cycle`` — reference-exact membership/order
+  (operators.frontier.reference_schedule) + fetch + snapshot commits. The
+  parity surface for the oracle tests.
+- ``run_scale_wave``        — the production path: per-host politeness,
+  Bloom-backed seen filter, skew salting. No global order.
+
+The fetch is the shared deterministic payload kernel
+(sources.synthetic.fetch_payload_py) run under ``mapInPandas`` — image bytes
+are born inside executor Arrow batches and written straight to parquet,
+never shuffled (SURVEY.md §7.3.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urlnorm import surt_url, url_host
+from .frontier import ScheduleResult, priority_frontier, reference_schedule
+from .politeness import apply_robots, budget_waves, salt_hot_hosts, skew_census, split_wave
+
+CORPUS_FETCH_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, "
+    "phash long, url string, source_id int, seq long, wave int"
+)
+
+
+def fetch_images(scheduled: DataFrame, seed: int = 42, wave: int = 0) -> DataFrame:
+    """Deterministic 'fetch' stage: scheduled (url, source_name, source_id,
+    seq) → input_hint corpus rows. mapInPandas, payload kernel shared with
+    the oracle."""
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.synthetic import fetch_payload_py
+
+        for pdf in batches:
+            rows = []
+            for url, sname, sid, seq in zip(
+                pdf["url"], pdf["source_name"], pdf["source_id"], pdf["seq"]
+            ):
+                p = fetch_payload_py(url, sname, seed)
+                rows.append(
+                    (
+                        p["image_id"], p["bytes"], p["w"], p["h"], p["fmt"],
+                        p["caption"], p["phash"], url, int(sid), int(seq), wave,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                    "url", "source_id", "seq", "wave",
+                ],
+            )
+
+    cols = ["url", "source_name", "source_id", "seq"]
+    return scheduled.select(*cols).mapInPandas(_fetch, CORPUS_FETCH_SCHEMA)
+
+
+def run_equivalence_cycle(
+    candidates: DataFrame,
+    sources: DataFrame,
+    seen_table,
+    corpus_table,
+    wave: int,
+    seed: int = 42,
+    canonical: bool = False,
+) -> ScheduleResult:
+    """One reference-equivalent cycle with snapshot commits.
+
+    seen_table/corpus_table: storage.snapshot_store.SnapshotTable (or None
+    to skip persistence — pure computation for tests).
+    """
+    seen_df = seen_table.read() if seen_table is not None and seen_table.exists() else None
+    sched = reference_schedule(
+        candidates.filter(F.col("wave") == wave), sources, seen_df, canonical
+    )
+    corpus = fetch_images(sched.fetched, seed=seed, wave=wave)
+    if corpus_table is not None:
+        n = corpus.count()
+        corpus_table.append(corpus, lineage={"wave": wave, "rows": n, "op": "fetch"})
+        seen_table.append(
+            sched.attempted.select("key"),
+            lineage={"wave": wave, "op": "mark_seen"},
+        )
+    return ScheduleResult(sched.attempted, corpus, sched.stats)
+
+
+def run_scale_wave(
+    frontier: DataFrame,
+    policies: DataFrame,
+    seen: DataFrame | None,
+    wave: int,
+    seed: int = 42,
+    links_per_page: int = 0,
+    n_articles: int | None = None,
+    skew_threshold: int = 10_000,
+) -> dict[str, DataFrame]:
+    """Production wave over a frontier (url, source_id, feed_rank, score).
+
+    Returns dict of DataFrames: corpus (fetched rows), seen_additions,
+    spill (budget-deferred frontier rows), blocked (robots), new_links
+    (discovered frontier candidates, canonicalized + within-wave deduped).
+    All lazy — caller commits them to snapshot tables.
+    """
+    f = (
+        frontier.withColumn("surt_url", surt_url(F.col("url")))
+        .withColumn("host", url_host(F.col("url")))
+        .withColumn(
+            "path", F.regexp_extract(F.col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+        )
+    )
+    allowed, blocked = apply_robots(f, policies)
+    if seen is not None:
+        allowed = allowed.join(
+            seen.select(F.col("key").alias("surt_url")), "surt_url", "left_anti"
+        )
+    # within-wave dedup on the canonical key: first by (score desc, rank)
+    from .dedup import exact_dedup
+
+    allowed = exact_dedup(allowed, ["surt_url"], ["feed_rank", "url"])
+    ranked = priority_frontier(allowed, rank_col="feed_rank")
+    budgeted = budget_waves(ranked, policies)
+    due, spill = split_wave(budgeted)
+    census = skew_census(due, threshold=skew_threshold)
+    salted = salt_hot_hosts(due, census)
+    # politeness groups stay intact per host; fetch partitions by fetch_key
+    scheduled = salted.repartition(F.col("fetch_key")).withColumn(
+        "source_name", F.concat(F.lit("src"), F.col("source_id").cast("string"))
+    ).withColumn("seq", F.col("host_rank").cast("long"))
+    corpus = fetch_images(scheduled, seed=seed, wave=wave)
+
+    out: dict[str, DataFrame] = {
+        "corpus": corpus,
+        "seen_additions": due.select(F.col("surt_url").alias("key")),
+        "spill": spill,
+        "blocked": blocked,
+    }
+    if links_per_page > 0:
+        # deterministic synthetic link graph: page /articles/i links to
+        # /articles/(i*7+j) mod N on the same host
+        art = F.regexp_extract(F.col("url"), "/articles/([0-9]+)", 1).cast("long")
+        n_mod = F.lit(n_articles or 1_000_000)
+        links = due.select(
+            "url",
+            "host",
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(art * 7 + F.lit(j), n_mod)
+                        for j in range(links_per_page)
+                    ]
+                )
+            ).alias("to_art"),
+        ).select(
+            F.concat(
+                F.lit("https://"), F.col("host"), F.lit("/articles/"),
+                F.col("to_art").cast("string"),
+            ).alias("url")
+        )
+        new = links.withColumn("surt_url", surt_url(F.col("url"))).dropDuplicates(
+            ["surt_url"]
+        )
+        out["new_links"] = new
+    return out

@@ -1,0 +1,117 @@
+"""Snapshot-committed table store with per-partition lineage.
+
+Emulates the Iceberg table semantics the engine needs (north_rule: resumable
+from snapshot checkpoints with per-partition lineage) on plain parquet +
+an atomically-replaced JSON manifest:
+
+    table_dir/
+      manifest.json                 <- {"current": N, "snapshots": [...]}
+      snap-00001/part-*.parquet     <- data files added by snapshot 1
+      snap-00002/...
+
+- A snapshot = the list of data directories visible at that version plus a
+  ``lineage`` dict (wave number, row counts, seen-shard parameters, anything
+  the caller records). Readers read ONLY directories listed in the current
+  manifest entry — a crashed half-written snapshot directory is invisible,
+  so commits are atomic (write dirs → fsync manifest.tmp → os.replace).
+- ``append`` adds files; ``overwrite`` starts a new file list (used by the
+  compacted ``seen`` table); ``read(version=...)`` is time travel; resume =
+  ``current_lineage()`` after a crash.
+
+On a real cluster this module is replaced 1:1 by an Iceberg catalog
+(``df.writeTo(tbl).append()`` + snapshot summary properties); the engine
+code only touches this narrow interface, deliberately.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def _load(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"current": 0, "snapshots": []}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> None:
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path)
+
+    # -- public API ---------------------------------------------------------
+
+    def current_version(self) -> int:
+        return self._load()["current"]
+
+    def current_lineage(self) -> dict | None:
+        m = self._load()
+        for s in m["snapshots"]:
+            if s["id"] == m["current"]:
+                return s["lineage"]
+        return None
+
+    def _write_snapshot(
+        self, df: DataFrame | None, base_dirs: list[str], lineage: dict
+    ) -> int:
+        m = self._load()
+        sid = m["current"] + 1
+        dirs = list(base_dirs)
+        if df is not None:
+            snap_dir = os.path.join(self.path, f"snap-{sid:05d}")
+            df.write.mode("overwrite").parquet(snap_dir)
+            dirs.append(f"snap-{sid:05d}")
+        m["snapshots"].append({"id": sid, "dirs": dirs, "lineage": lineage})
+        m["current"] = sid
+        self._commit(m)
+        return sid
+
+    def append(self, df: DataFrame, lineage: dict | None = None) -> int:
+        """Append df as a new snapshot (prior data remains visible)."""
+        m = self._load()
+        cur = next((s for s in m["snapshots"] if s["id"] == m["current"]), None)
+        base = cur["dirs"] if cur else []
+        return self._write_snapshot(df, base, lineage or {})
+
+    def overwrite(self, df: DataFrame, lineage: dict | None = None) -> int:
+        """Replace table contents (compaction / rewrite)."""
+        return self._write_snapshot(df, [], lineage or {})
+
+    def delete_where(self, condition, lineage: dict | None = None) -> int:
+        """Retention delete (reference K3): rewrite rows NOT matching the
+        condition as a fresh snapshot. With real Iceberg this is a metadata
+        delete on partition-pruned files."""
+        kept = self.read().filter(~condition)
+        return self.overwrite(kept, lineage or {"op": "delete_where"})
+
+    def read(self, version: int | None = None) -> DataFrame:
+        m = self._load()
+        sid = version if version is not None else m["current"]
+        snap = next((s for s in m["snapshots"] if s["id"] == sid), None)
+        if snap is None or not snap["dirs"]:
+            raise ValueError(f"no snapshot {sid} in {self.path}")
+        paths = [os.path.join(self.path, d) for d in snap["dirs"]]
+        return self.spark.read.parquet(*paths)
+
+    def exists(self) -> bool:
+        m = self._load()
+        return m["current"] > 0
