@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: an end-to-end reference-equivalence crawl cycle
+                (schedule → deterministic image fetch) over a frontier
+                synthesized from sf0.001 documents.
+queries()     — one entry per implemented operator (SURVEY.md §2), each
+                (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-equivalent SQL per query (same column names/types);
+                rows-only ops (binary payloads, UDF hashes, approximate ANN)
+                are intentionally absent.
 """
 
 from __future__ import annotations
@@ -12,27 +15,47 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from newsraag_crawler_spark.operators.frontier import reference_schedule
+    from newsraag_crawler_spark.operators.wave import fetch_images
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cands = docs.select(
+        F.pmod(F.abs(F.hash("source")), F.lit(100)).cast("int").alias("source_id"),
+        F.col("source").alias("source_name"),
+        F.col("doc_id").alias("feed_rank"),
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("T"), F.col("doc_id").cast("string")).alias("title"),
+        F.col("n_chars").cast("int").alias("content_len"),
+    )
+    sources = (
+        cands.select("source_id")
+        .distinct()
+        .withColumn("max_articles_per_run", F.lit(25))
+        .withColumn("enabled", F.lit(True))
+    )
+    sched = reference_schedule(cands, sources, None, min_content_len=500)
+    corpus = fetch_images(sched.fetched, seed=42, wave=0)
+    return corpus.select(
+        "image_id", "url", "fmt", "w", "h", "phash", "caption", "seq",
+        F.length("bytes").alias("payload_bytes"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from newsraag_crawler_spark.queries import catalog
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return catalog()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from newsraag_crawler_spark.queries import oracles
+
+    return oracles()

@@ -53,7 +53,7 @@ def png_encode(img: np.ndarray) -> bytes:
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IDAT", zlib.compress(raw, 3))
         + _chunk(b"IEND", b"")
     )
 
@@ -88,7 +88,7 @@ def lossy_encode(img: np.ndarray) -> bytes:
     h, w, _ = img.shape
     shift = 8 - _QUANT_BITS
     q = (img >> shift).astype(np.uint8)
-    return _LSY_MAGIC + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 6)
+    return _LSY_MAGIC + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 3)
 
 
 def lossy_decode(data: bytes) -> np.ndarray:
@@ -133,14 +133,13 @@ def phash64(img: np.ndarray) -> int:
     """64-bit mean perceptual hash: 8x8 block-averaged grayscale vs median."""
     gray = img.astype(np.float64).mean(axis=2)
     h, w = gray.shape
-    # block-average down to 8x8 via integral-image style bucketing
+    # block-average down to 8x8 via bincount (fast C scatter-sum)
     ys = (np.arange(h) * 8 // h).astype(np.int64)
     xs = (np.arange(w) * 8 // w).astype(np.int64)
-    sums = np.zeros((8, 8))
-    counts = np.zeros((8, 8))
-    np.add.at(sums, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), gray)
-    np.add.at(counts, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), 1.0)
-    blocks = sums / np.maximum(counts, 1)
+    idx = (ys[:, None] * 8 + xs[None, :]).ravel()
+    sums = np.bincount(idx, weights=gray.ravel(), minlength=64)
+    counts = np.bincount(idx, minlength=64)
+    blocks = (sums / np.maximum(counts, 1)).reshape(8, 8)
     bits = (blocks > np.median(blocks)).flatten()
     v = 0
     for b in bits:

@@ -83,8 +83,10 @@ def bloom_params(n_keys_per_shard: int, fpp: float = 0.01) -> tuple[int, int]:
 def _positions(key_col, n_bits: int, n_hashes: int):
     """k bit positions as a JVM-computed array column (double hashing:
     pos_i = (h1 + i*h2) mod m, h1/h2 from two xxhash64 seeds)."""
-    h1 = F.xxhash64(key_col, F.lit(1))
-    h2 = F.xxhash64(key_col, F.lit(2))
+    # reduce mod m before combining: ANSI mode forbids the long overflow
+    # h1 + i*h2 would hit; (h1m + i*h2m) < (n_hashes+1)*n_bits ≪ 2^63
+    h1 = F.pmod(F.xxhash64(key_col, F.lit(1)), F.lit(n_bits))
+    h2 = F.pmod(F.xxhash64(key_col, F.lit(2)), F.lit(n_bits))
     return F.array(
         *[
             F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)).cast("long")
@@ -156,26 +158,36 @@ def probe_bloom(
     probed = df.withColumn(
         "_shard_id", F.pmod(F.hash(F.col(key)), F.lit(n_shards)).cast("int")
     ).withColumn("_pos", _positions(F.col(key), nb, nh))
-    joined = probed.join(
-        F.broadcast(shards.select(F.col("shard_id").alias("_shard_id"), "bits")),
-        "_shard_id",
-        "left",
+
+    # COGROUP, not a row join: the bitset crosses the Arrow boundary once
+    # per (shard × partition) group — a per-row broadcast join would ship
+    # n_bits/8 bytes on EVERY row (25 GB for 50k rows × 4 MB shards).
+    # Inside the group the probe is one vectorized gather over all rows.
+    # do NOT .add() on probed.schema — pyspark caches and aliases that object
+    out_schema = StructType(
+        list(probed.schema.fields) + [StructField("maybe_seen", BooleanType())]
     )
 
-    @F.pandas_udf(BooleanType())
-    def _contains(bits: pd.Series, pos: pd.Series) -> pd.Series:
-        out = np.zeros(len(bits), dtype=bool)
-        for i, (b, p) in enumerate(zip(bits, pos)):
-            if b is None:
-                continue  # empty shard → definitely unseen
-            arr = np.frombuffer(b, dtype=np.uint8)
-            pp = np.asarray(p, dtype=np.int64)
-            out[i] = bool(np.all(arr[pp // 8] & (1 << (pp % 8).astype(np.uint8))))
-        return pd.Series(out)
+    def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=list(left.columns) + ["maybe_seen"])
+        if right.empty:
+            left = left.copy()
+            left["maybe_seen"] = False  # empty shard → definitely unseen
+            return left
+        bits = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
+        pos = np.stack(left["_pos"].values).astype(np.int64)  # (n, k)
+        hit = bits[pos // 8] & (1 << (pos % 8).astype(np.uint8))
+        left = left.copy()
+        left["maybe_seen"] = (hit != 0).all(axis=1)
+        return left
 
-    return joined.withColumn("maybe_seen", _contains("bits", "_pos")).drop(
-        "bits", "_pos", "_shard_id"
+    result = (
+        probed.groupBy("_shard_id")
+        .cogroup(shards.groupBy(F.col("shard_id").alias("_shard_id")))
+        .applyInPandas(_probe, out_schema)
     )
+    return result.drop("_pos", "_shard_id")
 
 
 def seen_filter_two_phase(
@@ -205,30 +217,56 @@ def seen_filter_two_phase(
 # ---------------------------------------------------------------------------
 
 
+_MINHASH_P = 2_147_483_647  # 2^31-1; products stay < 2^62 (ANSI-safe)
+
+
+def minhash_perms(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation constants shared with the DuckDB
+    mirror: sig_i = min over shingles of (a_i * (h % p) + b_i) % p."""
+    return [
+        ((1103515245 * (i + 1) + 12345) % _MINHASH_P or 1, (12345 + 1013904223 * i) % _MINHASH_P)
+        for i in range(n)
+    ]
+
+
 def minhash_signature(
     shingle_col, num_hashes: int = 16, portable: bool = False
 ) -> object:
     """MinHash signature as array<bigint> over a shingle array column.
 
-    portable=True uses the md5-derived hash (matches DuckDB oracle);
-    portable=False uses xxhash64 (fast JVM path for 100 TB runs).
+    Each shingle is hashed ONCE (md5-portable or xxhash64), then the k
+    permutations are cheap affine maps mod p — k× fewer strong hashes, and
+    DuckDB reproduces the portable variant exactly.
     """
     if portable:
-        from ..functions.hashing import portable_hash64
-
-        def h(i):
-            return lambda s: F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"mh{i}:"), s)), 1, 15), 16, 10
-            ).cast("long")
-        _ = portable_hash64  # documented pairing
+        def base(s):
+            return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     else:
+        def base(s):
+            return F.xxhash64(s)
 
-        def h(i):
-            return lambda s: F.xxhash64(s, F.lit(i))
+    # Two steps so the strong hash runs ONCE per shingle: (1) transform
+    # shingles → base hashes (the only md5 site, referenced exactly once);
+    # (2) fold over the hashes with an array accumulator whose lambda
+    # variable IS the computed hash (k separate array_min(transform(...))
+    # expressions — or an expression over the lambda var used k times —
+    # get duplicated by Catalyst → k× md5 recomputation).
+    perms = minhash_perms(num_hashes)
+    hs = F.transform(shingle_col, lambda s: F.pmod(base(s), F.lit(_MINHASH_P)))
+    init = F.array(*[F.lit(_MINHASH_P).cast("long")] * num_hashes)
 
-    return F.array(
-        *[F.array_min(F.transform(shingle_col, h(i))) for i in range(num_hashes)]
-    )
+    def step(acc, h):
+        return F.array(
+            *[
+                F.least(
+                    F.element_at(acc, i + 1),
+                    F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MINHASH_P)),
+                )
+                for i, (a, b) in enumerate(perms)
+            ]
+        )
+
+    return F.aggregate(hs, init, step)
 
 
 def lsh_band_pairs(
@@ -319,11 +357,13 @@ def simhash64(token_col) -> object:
             if toks is None or len(toks) == 0:
                 continue
             votes = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
             for t in toks:
-                hv = int.from_bytes(
-                    hashlib.md5(t.encode("utf-8", "ignore")).digest()[:8], "big"
-                )
-                bits = (hv >> np.arange(64)) & 1
+                hv = np.frombuffer(
+                    hashlib.md5(t.encode("utf-8", "ignore")).digest()[:8],
+                    dtype=np.uint64,
+                )[0]
+                bits = ((hv >> shifts) & np.uint64(1)).astype(np.int64)
                 votes += 2 * bits - 1
             v = 0
             for bit in (votes > 0)[::-1]:
@@ -348,9 +388,10 @@ def phash_bucket_pairs(
     from ..functions.hashing import hamming64
 
     width = 64 // bands
+    mask = F.lit((1 << width) - 1).cast("long")
     chunks = F.array(
         *[
-            (F.shiftrightunsigned(F.col(phash_col), i * width) & ((1 << width) - 1))
+            F.shiftrightunsigned(F.col(phash_col), i * width).bitwiseAND(mask)
             for i in range(bands)
         ]
     )

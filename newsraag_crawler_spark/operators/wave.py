@@ -137,8 +137,12 @@ def run_scale_wave(
     due, spill = split_wave(budgeted)
     census = skew_census(due, threshold=skew_threshold)
     salted = salt_hot_hosts(due, census)
-    # politeness groups stay intact per host; fetch partitions by fetch_key
-    scheduled = salted.repartition(F.col("fetch_key")).withColumn(
+    # politeness groups stay intact per host; fetch partitions by fetch_key.
+    # EXPLICIT partition count: AQE coalesces byte-small shuffles to one
+    # partition, which would serialize the compute-heavy fetch UDF — the
+    # pre-fetch rows are tiny but each costs ~ms of codec work downstream.
+    n_fetch_parts = frontier.sparkSession.sparkContext.defaultParallelism * 4
+    scheduled = salted.repartition(n_fetch_parts, F.col("fetch_key")).withColumn(
         "source_name", F.concat(F.lit("src"), F.col("source_id").cast("string"))
     ).withColumn("seq", F.col("host_rank").cast("long"))
     corpus = fetch_images(scheduled, seed=seed, wave=wave)

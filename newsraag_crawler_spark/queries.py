@@ -1,0 +1,689 @@
+"""Driver-facing query catalog: each entry is (Spark callable, DuckDB SQL).
+
+Every operator from SURVEY.md §2 that is SQL-expressible gets BOTH a Spark
+implementation (through the engine's operators) and an equivalent ANSI-ish
+SQL string for DuckDB, with IDENTICAL output column names and types chosen
+for cross-engine hash stability:
+
+- integers / strings wherever possible;
+- money/quantity aggregates computed in DECIMAL (order-independent, exact)
+  then rounded and cast to double;
+- float similarity scores rounded to 6 dp with an id tiebreak on ranks.
+
+Crawl-specific operators (canonicalizer, seen anti-join, caps, politeness
+waves, reference schedule, Bloom two-phase) are exercised over inputs
+SYNTHESIZED deterministically from the driver's `documents` table with pure
+column expressions that both engines evaluate identically — no external
+data (BASELINE.json input_hint is covered separately by entry()/pytest,
+which carry real image payloads).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .functions import urlnorm as U
+from .functions.hashing import hamming64, portable_hash64, portable_hash64_sql
+
+# ---------------------------------------------------------------------------
+# synthesized crawl inputs (shared Spark/DuckDB expressions)
+# ---------------------------------------------------------------------------
+
+# messy URL per document — exercises case/port/www/query-order/fragment rules
+_URL_SPARK = (
+    "concat('https://www.Host', cast(pmod(doc_id, 20) as string), "
+    "'.Example.COM:443/docs/', cast(doc_id as string), '/?b=2&a=', lang, '#frag')"
+)
+_URL_DUCK = (
+    "'https://www.Host' || (doc_id % 20)::VARCHAR || '.Example.COM:443/docs/' "
+    "|| doc_id::VARCHAR || '/?b=2&a=' || lang || '#frag'"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_with_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).withColumn("url", F.expr(_URL_SPARK))
+
+
+def _cloned_docs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact clones of every 20th doc (id+1_000_000) — guarantees
+    duplicate groups for the near-dup operators."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = d.filter(F.pmod("doc_id", F.lit(20)) == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    # local testdata is one small parquet file = one input split; spread the
+    # CPU-heavy shingle/signature work (a real 100 TB scan has one split per
+    # file chunk and never needs this)
+    return d.unionByName(clones).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+_CLONED_DOCS_DUCK = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0"
+)
+
+# word 3-shingles, both engines, from whitespace-normalized lowercase text
+_SHINGLES_DUCK = (
+    "list_transform(range(1, greatest(len({w}) - 2, 1) + 1), "
+    "i -> array_to_string(list_slice({w}, i, i + 2), ' '))"
+).format(w="string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')")
+
+
+def _minhash_base_hashes_duck() -> str:
+    """SQL expr: shingles → list of base hashes mod p (one md5 per shingle)."""
+    from .operators.dedup import _MINHASH_P
+
+    return (
+        f"list_transform({_SHINGLES_DUCK}, s -> "
+        f"({portable_hash64_sql('s')}) % {_MINHASH_P})"
+    )
+
+
+def _minhash_sig_from_hs_duck(n: int = 8) -> str:
+    """SQL expr over a column ``hs`` (base hash list): the n-perm signature."""
+    from .operators.dedup import _MINHASH_P, minhash_perms
+
+    return (
+        "["
+        + ", ".join(
+            f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MINHASH_P}))"
+            for a, b in minhash_perms(n)
+        )
+        + "]"
+    )
+
+
+# ---------------------------------------------------------------------------
+# the catalog
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))),
+                2,
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS sum_base_price,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)::DOUBLE AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-shaped analytics: revenue per order for a customer segment,
+    top-10 deterministic. Broadcast the dimension side."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+        rev, orders.o_orderkey == rev.l_orderkey
+    )
+    return (
+        j.select(F.col("o_orderkey").alias("orderkey"), "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+_SQL_TOP_REVENUE = """
+WITH rev AS (
+  SELECT l_orderkey,
+         round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)::DOUBLE AS revenue
+  FROM lineitem GROUP BY l_orderkey)
+SELECT o.o_orderkey AS orderkey, rev.revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN rev ON o.o_orderkey = rev.l_orderkey
+ORDER BY rev.revenue DESC, orderkey LIMIT 10
+"""
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 3)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+_SQL_EVENTS_DAILY = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(18,6))), 3)::DOUBLE AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_url(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        U.canonical_url("url").alias("canon_url"),
+        U.surt_url("url").alias("surt_key"),
+        U.url_host("url").alias("host"),
+    )
+
+
+def _sql_url_canonicalize() -> str:
+    return (
+        f"SELECT doc_id, {U.duckdb_canonical_sql(_URL_DUCK)} AS canon_url, "
+        f"{U.duckdb_surt_sql(_URL_DUCK)} AS surt_key, "
+        f"{U.duckdb_host_sql(_URL_DUCK)} AS host FROM documents"
+    )
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: frontier minus seen set, keyed on SURT (left-anti join)."""
+    d = _docs_with_url(spark, sf_dir).withColumn("surt_key", U.surt_url("url"))
+    seen = d.filter(F.pmod("doc_id", F.lit(3)) == 0).select("surt_key")
+    from .operators.dedup import anti_join_seen
+
+    return anti_join_seen(d, seen, "surt_key").select("doc_id", "surt_key")
+
+
+def _sql_seen_antijoin() -> str:
+    surt = U.duckdb_surt_sql(_URL_DUCK)
+    return f"""
+WITH f AS (SELECT doc_id, {surt} AS surt_key FROM documents),
+seen AS (SELECT surt_key FROM f WHERE doc_id % 3 = 0)
+SELECT doc_id, surt_key FROM f
+WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.surt_key = f.surt_key)
+"""
+
+
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: per-group LIMIT via row_number window (reference max_articles)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("source", "doc_id", "rnk")
+    )
+
+
+_SQL_PER_SOURCE_CAP = """
+SELECT source, doc_id, rnk FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+  FROM documents) WHERE rnk <= 10
+"""
+
+
+def q_politeness_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: token-bucket budget as column math — wave assignment + schedule
+    offsets (budget 7, delay 1.5s), host stood in by `source`."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    r0 = F.row_number().over(w) - 1
+    return d.select(
+        "source",
+        "doc_id",
+        F.floor(r0 / 7).cast("int").alias("wave_offset"),
+        (F.pmod(r0, F.lit(7)) * 1.5).alias("scheduled_at_s"),
+    )
+
+
+_SQL_POLITENESS = """
+SELECT source, doc_id,
+       ((row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) // 7)::INT AS wave_offset,
+       ((row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) % 7) * 1.5 AS scheduled_at_s
+FROM documents
+"""
+
+
+def q_reference_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-decision core (SURVEY §2.6 W4): success-counted per-source
+    caps + validity filters + global (source, rank) order, via the engine's
+    reference_schedule operator. Inputs synthesized from documents; no
+    within-run duplicates, so the SQL mirror needs no fixpoint."""
+    from .operators.frontier import reference_schedule
+
+    d = _docs_with_url(spark, sf_dir)
+    cands = d.select(
+        (F.pmod(portable_hash64("source"), F.lit(1_000_000))).cast("int").alias("source_id"),
+        F.col("source").alias("source_name"),
+        F.col("doc_id").alias("feed_rank"),
+        "url",
+        F.when(F.pmod("doc_id", F.lit(17)) == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("T"), F.col("doc_id").cast("string")))
+        .alias("title"),
+        F.col("n_chars").cast("int").alias("content_len"),
+    )
+    sources = (
+        cands.select("source_id")
+        .distinct()
+        .withColumn("max_articles_per_run", F.lit(15))
+        .withColumn("enabled", F.lit(True))
+    )
+    sched = reference_schedule(cands, sources, None, min_content_len=500)
+    return sched.fetched.select(
+        F.col("source_name").alias("source"), F.col("feed_rank").alias("doc_id"), "seq"
+    )
+
+
+def _sql_reference_schedule() -> str:
+    sid = portable_hash64_sql("source")
+    return f"""
+WITH cand AS (
+  SELECT ({sid}) % 1000000 AS source_id, source AS source_name,
+         doc_id AS feed_rank,
+         CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 'T' || doc_id::VARCHAR END AS title,
+         n_chars AS content_len
+  FROM documents),
+valid AS (SELECT * FROM cand WHERE title IS NOT NULL),
+flagged AS (
+  SELECT *, CASE WHEN content_len >= 500 THEN 1 ELSE 0 END AS ok,
+         COALESCE(sum(CASE WHEN content_len >= 500 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY source_id ORDER BY feed_rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM valid),
+fetched AS (SELECT * FROM flagged WHERE prior < 15 AND ok = 1)
+SELECT source_name AS source, feed_rank AS doc_id,
+       row_number() OVER (ORDER BY source_id, feed_rank) - 1 AS seq
+FROM fetched
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 exact dedup by content fingerprint over the cloned corpus."""
+    d = _cloned_docs_spark(spark, sf_dir)
+    return (
+        d.withColumn("fp", T.doc_fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_dups") > 1)
+        .select("fp", "n_dups", "keeper")
+    )
+
+
+def _sql_dedup_exact() -> str:
+    fp = T.doc_fingerprint_sql("text")
+    return f"""
+WITH corpus AS ({_CLONED_DOCS_DUCK})
+SELECT {fp} AS fp, count(*) AS n_dups, min(doc_id) AS keeper
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(2 bands × 4) candidate pairs over the cloned corpus —
+    portable hashes so DuckDB reproduces the signatures bit-for-bit."""
+    from .operators.dedup import minhash_signature
+
+    d = _cloned_docs_spark(spark, sf_dir)
+    sig = d.select(
+        "doc_id", minhash_signature(T.shingles("text", 3), 8, portable=True).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        *[
+            portable_hash64(
+                F.concat_ws(",", *[F.element_at("sig", b * 4 + r + 1) for r in range(4)])
+            ).alias(f"band{b}")
+            for b in range(2)
+        ],
+    )
+    pairs = None
+    for b in range(2):
+        a = banded.select(F.col("doc_id").alias("id_a"), F.col(f"band{b}").alias("bucket"))
+        c = banded.select(F.col("doc_id").alias("id_b"), F.col(f"band{b}").alias("bucket"))
+        p = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def _sql_dedup_minhash() -> str:
+    sig = _minhash_sig_from_hs_duck(8)
+    b0 = portable_hash64_sql(
+        "array_to_string(list_slice(sig, 1, 4), ',')"
+    )
+    b1 = portable_hash64_sql(
+        "array_to_string(list_slice(sig, 5, 8), ',')"
+    )
+    return f"""
+WITH corpus AS ({_CLONED_DOCS_DUCK}),
+hbase AS (SELECT doc_id, {_minhash_base_hashes_duck()} AS hs FROM corpus),
+sigs AS (SELECT doc_id, {sig} AS sig FROM hbase),
+banded AS (SELECT doc_id, {b0} AS band0, {b1} AS band1 FROM sigs),
+p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a JOIN banded b ON a.band0 = b.band0 AND a.doc_id < b.doc_id),
+p1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id)
+SELECT DISTINCT id_a, id_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard ≥ 0.9 pairs via explode + equi-join."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _cloned_docs_spark(spark, sf_dir).withColumn("shingles", T.shingles("text", 3))
+    pairs = ngram_jaccard_pairs(d, "doc_id", "shingles", threshold=0.9)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _sql_dedup_jaccard() -> str:
+    return f"""
+WITH corpus AS ({_CLONED_DOCS_DUCK}),
+sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS s FROM corpus),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(shared / (na.n + nb.n - shared), 4) AS jaccard
+FROM inter JOIN sizes na ON inter.id_a = na.doc_id
+           JOIN sizes nb ON inter.id_b = nb.doc_id
+WHERE shared / (na.n + nb.n - shared) >= 0.9
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.word_count("text").alias("n_words"),
+        T.token_count("text").alias("n_tokens"),
+        F.round(T.quality_score("text"), 4).alias("quality"),
+        T.lang_id("text").alias("lang_pred"),
+        T.doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+def _sql_text_quality() -> str:
+    return f"""
+SELECT doc_id,
+       {T.word_count_sql('text')} AS n_words,
+       {T.token_count_sql('text')} AS n_tokens,
+       round({T.quality_score_sql('text')}, 4) AS quality,
+       {T.lang_id_sql('text')} AS lang_pred,
+       {T.doc_fingerprint_sql('text')} AS fingerprint
+FROM documents
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 5 query vectors (J5)."""
+    from .operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = cosine_topk(emb, queries, k=10)
+    return top.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+_SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos_raw
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 64-bit Hamming ≤ 4 via banded pigeonhole join;
+    phash synthesized (portable) with 2-bit-perturbed clones."""
+    from .operators.dedup import phash_bucket_pairs
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", portable_hash64(F.col("text")).alias("ph")
+    )
+    clones = d.filter(F.pmod("doc_id", F.lit(20)) == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.col("ph").bitwiseXOR(F.lit(5)).alias("ph"),  # flips 2 bits, 1 band
+    )
+    allrows = d.unionByName(clones)
+    return phash_bucket_pairs(allrows, "doc_id", "ph", max_hamming=4, bands=4)
+
+
+def _sql_phash_hamming() -> str:
+    ph = portable_hash64_sql("text")
+    return f"""
+WITH base AS (SELECT doc_id, {ph} AS ph FROM documents),
+corpus AS (
+  SELECT doc_id, ph FROM base
+  UNION ALL SELECT doc_id + 1000000, xor(ph, 5) FROM base WHERE doc_id % 20 = 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.ph, b.ph)) AS hamming
+FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= 4
+"""
+
+
+def q_cycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3 rollup: per-source + overall counters with success rate."""
+    from .operators.stats import cycle_stats
+
+    d = _docs(spark, sf_dir).select(
+        F.col("source").alias("source_id"),
+        (F.col("n_chars") >= 500).cast("int").alias("ok"),
+    )
+    return cycle_stats(d)
+
+
+_SQL_CYCLE_STATS = """
+SELECT source_id, count(*) AS discovered,
+       sum(ok) AS processed, sum(1 - ok) AS failed,
+       round(sum(ok) / greatest(count(*), 1) * 100, 1) AS success_rate
+FROM (SELECT source AS source_id, CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS ok
+      FROM documents)
+GROUP BY ROLLUP (source_id)
+"""
+
+
+def q_bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase Bloom seen filter; MUST equal the exact anti-join — the
+    oracle is the plain NOT EXISTS, so the gate proves Bloom exactness."""
+    from .operators.dedup import build_bloom_shards, seen_filter_two_phase
+
+    d = _docs_with_url(spark, sf_dir).withColumn("key", U.surt_url("url"))
+    seen = d.filter(F.pmod("doc_id", F.lit(3)) == 0).select("key")
+    shards = build_bloom_shards(seen, n_shards=16, n_bits=1 << 16, n_hashes=5)
+    fresh = seen_filter_two_phase(
+        d, seen, shards, n_shards=16, n_bits=1 << 16, n_hashes=5
+    )
+    return fresh.select("doc_id", "key")
+
+
+def _sql_bloom_seen() -> str:
+    surt = U.duckdb_surt_sql(_URL_DUCK)
+    return f"""
+WITH f AS (SELECT doc_id, {surt} AS key FROM documents),
+seen AS (SELECT key FROM f WHERE doc_id % 3 = 0)
+SELECT doc_id, key FROM f
+WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.key = f.key)
+"""
+
+
+# -- rows-only (non-SQL-expressible) ------------------------------------------
+
+
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: deterministic fetch → binary column → decode/
+    feature-extract in Arrow batches (no SQL oracle: binary codec)."""
+    from .functions.images import image_stats_udf
+    from .operators.wave import fetch_images
+
+    d = (
+        _docs_with_url(spark, sf_dir)
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "url",
+            F.col("source").alias("source_name"),
+            F.lit(0).alias("source_id"),
+            F.col("doc_id").alias("seq"),
+        )
+    )
+    corpus = fetch_images(d, seed=42)
+    stats = corpus.select(
+        "url", "fmt", "phash", image_stats_udf()("bytes", "fmt").alias("s")
+    )
+    return stats.select(
+        "url", "fmt", "phash", "s.w", "s.h", F.round("s.mean_lum", 3).alias("mean_lum")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (UDF-computed; rows-only check)."""
+    from .operators.dedup import simhash64
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(T.clean_whitespace(F.lower("text")), " ")
+    return d.select("doc_id", simhash64(toks).alias("simhash"))
+
+
+def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via signed-random-projection LSH (rows-only)."""
+    from .operators.similarity import srp_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return srp_topk(emb, queries, k=10, n_bits=10, dim=dim).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_crawl_wave_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scale-mode crawl wave over a synthesized frontier (politeness +
+    robots + priority + salting + fetch). Rows-only: binary payloads."""
+    from pyspark.sql import Row
+
+    from .operators.wave import run_scale_wave
+    from .sources.synthetic import synth_frontier_df
+
+    n = 2000
+    frontier = synth_frontier_df(spark, n, n_hosts=20, hot_host_pct=30)
+    policies = spark.createDataFrame(
+        [
+            Row(
+                host=f"host{i}.example.com",
+                crawl_delay_s=1.0,
+                per_wave_budget=40,
+                robots_disallow=["/private"],
+            )
+            for i in range(20)
+        ]
+    )
+    out = run_scale_wave(frontier, policies, None, wave=0)
+    c = out["corpus"]
+    return c.select(
+        "url", "image_id", "fmt", "w", "h", "phash", "caption", F.length("bytes").alias("payload_bytes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "top_revenue_orders": q_top_revenue_orders,
+        "events_daily_rollup": q_events_daily,
+        "url_canonicalize": q_url_canonicalize,
+        "seen_antijoin": q_seen_antijoin,
+        "per_source_cap": q_per_source_cap,
+        "politeness_waves": q_politeness_waves,
+        "reference_schedule": q_reference_schedule,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_jaccard,
+        "text_quality": q_text_quality,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "phash_hamming_pairs": q_phash_hamming,
+        "crawl_cycle_stats": q_cycle_stats,
+        "bloom_seen_filter": q_bloom_seen_filter,
+        # rows-only (no SQL oracle)
+        "image_stats": q_image_stats,
+        "simhash_fingerprint": q_simhash,
+        "srp_ann_topk": q_srp_ann,
+        "crawl_wave_scale": q_crawl_wave_scale,
+    }
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "tpch_q1_pricing_summary": _SQL_TPCH_Q1,
+        "top_revenue_orders": _SQL_TOP_REVENUE,
+        "events_daily_rollup": _SQL_EVENTS_DAILY,
+        "url_canonicalize": _sql_url_canonicalize(),
+        "seen_antijoin": _sql_seen_antijoin(),
+        "per_source_cap": _SQL_PER_SOURCE_CAP,
+        "politeness_waves": _SQL_POLITENESS,
+        "reference_schedule": _sql_reference_schedule(),
+        "dedup_exact": _sql_dedup_exact(),
+        "dedup_minhash_lsh": _sql_dedup_minhash(),
+        "dedup_ngram_jaccard": _sql_dedup_jaccard(),
+        "text_quality": _sql_text_quality(),
+        "ann_cosine_topk": _SQL_ANN_TOPK,
+        "phash_hamming_pairs": _sql_phash_hamming(),
+        "crawl_cycle_stats": _SQL_CYCLE_STATS,
+        "bloom_seen_filter": _sql_bloom_seen(),
+    }

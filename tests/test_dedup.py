@@ -1,0 +1,91 @@
+"""Dedup operators: Bloom exactness/no-false-negatives, two-phase equality
+with the exact anti-join, MinHash-LSH recall on clones, phash bands."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from newsraag_crawler_spark.operators import dedup
+
+NB, NH, NS = 1 << 14, 5, 8
+
+
+def _keys(spark, n, prefix="k"):
+    return spark.range(n).select(
+        F.concat(F.lit(f"https://h.com/{prefix}/"), F.col("id").cast("string")).alias("key")
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    seen = _keys(spark, 500)
+    shards = dedup.build_bloom_shards(seen, n_shards=NS, n_bits=NB, n_hashes=NH)
+    probed = dedup.probe_bloom(seen, shards, n_shards=NS, n_bits=NB, n_hashes=NH)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0  # every member hits
+
+
+def test_bloom_fpr_reasonable(spark):
+    seen = _keys(spark, 500, "seen")
+    other = _keys(spark, 2000, "other")
+    shards = dedup.build_bloom_shards(seen, n_shards=NS, n_bits=NB, n_hashes=NH)
+    probed = dedup.probe_bloom(other, shards, n_shards=NS, n_bits=NB, n_hashes=NH)
+    fp = probed.filter(F.col("maybe_seen")).count()
+    assert fp / 2000 < 0.05, fp  # 16k bits / ~63 keys per shard → tiny FPR
+
+
+def test_two_phase_equals_exact_antijoin(spark):
+    seen = _keys(spark, 400, "seen")
+    mixed = _keys(spark, 300, "seen").union(_keys(spark, 300, "new"))
+    shards = dedup.build_bloom_shards(seen, n_shards=NS, n_bits=NB, n_hashes=NH)
+    two = dedup.seen_filter_two_phase(
+        mixed, seen, shards, n_shards=NS, n_bits=NB, n_hashes=NH
+    )
+    exact = mixed.join(seen, "key", "left_anti")
+    assert two.exceptAll(exact).isEmpty() and exact.exceptAll(two).isEmpty()
+
+
+def test_exact_dedup_keeps_first(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", r=2, v="late"), Row(k="a", r=1, v="first"), Row(k="b", r=1, v="only")]
+    )
+    out = dedup.exact_dedup(df, ["k"], ["r"])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {"a": "first", "b": "only"}
+
+
+def test_minhash_lsh_finds_exact_clones(spark):
+    from newsraag_crawler_spark.functions.text import shingles
+
+    docs = [(i, f"word{i} alpha beta gamma delta epsilon zeta eta theta {i}") for i in range(30)]
+    docs += [(100 + i, docs[i][1]) for i in range(5)]  # clones of 0..4
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sig = df.select(
+        "doc_id",
+        dedup.minhash_signature(shingles("text", 3), 16).alias("sig"),
+    )
+    pairs = dedup.lsh_band_pairs(sig, "doc_id", bands=4, rows_per_band=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, 100 + i) in got
+
+
+def test_phash_bucket_pairs_finds_small_hamming(spark):
+    base = [(i, (i * 2654435761) % (1 << 60)) for i in range(50)]
+    pert = [(1000 + i, ph ^ 0b101) for i, ph in base[:5]]  # hamming 2
+    df = spark.createDataFrame(base + pert, ["doc_id", "phash"])
+    pairs = dedup.phash_bucket_pairs(df, "doc_id", "phash", max_hamming=4, bands=4)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for i in range(5):
+        assert got.get((i, 1000 + i)) == 2
+
+
+def test_simhash_similar_docs_close(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a.replace("today", "tomorrow")  # one token differs
+    c = "completely different text about stock markets and currency pairs"
+    df = spark.createDataFrame([(1, a.split()), (2, b.split()), (3, c.split())], ["id", "toks"])
+    out = {r.id: r.sh for r in df.select("id", dedup.simhash64(F.col("toks")).alias("sh")).collect()}
+    near = bin(out[1] ^ out[2]).count("1")
+    far = bin(out[1] ^ out[3]).count("1")
+    assert near < far
+    assert near <= 16

@@ -1,0 +1,69 @@
+"""Mini-driver: replicate the external driver's correctness gate locally —
+run every queries() entry and its oracle_sql() side by side (DuckDB) at
+sf0.001 and require exact (sorted, column-name-aligned) value equality."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from newsraag_crawler_spark.sources.tables import TPCH_TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object or str(pdf[c].dtype).startswith("datetime"):
+            pdf[c] = pdf[c].astype(str)
+        else:
+            pdf[c] = pd.to_numeric(pdf[c], errors="ignore")
+    pdf = pdf.sort_values(by=list(pdf.columns), na_position="first").reset_index(
+        drop=True
+    )
+    return pdf
+
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
+ALL_KEYS = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_duckdb_oracle(spark, ddb, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    got = _normalize(q(spark, SF_DIR).toPandas())
+    want = _normalize(ddb.sql(sql).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {got.columns} vs {want.columns}"
+    )
+    assert len(got) == len(want), f"{name}: rowcount {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL_KEYS) - set(ORACLE_KEYS)))
+def test_rows_only_queries_run(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.count() > 0, name
+    assert len(df.schema) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    n = df.count()
+    assert n > 0
+    row = df.first()
+    assert row.payload_bytes > 0 and row.caption

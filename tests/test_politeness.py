@@ -1,0 +1,96 @@
+"""Politeness: robots filter, budget waves, spill, skew census + salting."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from newsraag_crawler_spark.operators.frontier import priority_frontier
+from newsraag_crawler_spark.operators.politeness import (
+    apply_robots,
+    budget_waves,
+    salt_hot_hosts,
+    skew_census,
+    split_wave,
+)
+
+
+def _frontier(spark):
+    rows = [
+        Row(url=f"https://a.com/articles/{i}", host="a.com", path=f"/articles/{i}",
+            score=float(i % 5), discovery_rank=i)
+        for i in range(20)
+    ]
+    rows.append(
+        Row(url="https://a.com/private/1", host="a.com", path="/private/1",
+            score=9.0, discovery_rank=99)
+    )
+    rows += [
+        Row(url=f"https://b.com/articles/{i}", host="b.com", path=f"/articles/{i}",
+            score=1.0, discovery_rank=i)
+        for i in range(3)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _policies(spark):
+    return spark.createDataFrame(
+        [
+            Row(host="a.com", crawl_delay_s=2.0, per_wave_budget=6,
+                robots_disallow=["/private"]),
+            Row(host="b.com", crawl_delay_s=1.0, per_wave_budget=50,
+                robots_disallow=[]),
+        ]
+    )
+
+
+def test_robots_blocks_disallowed(spark):
+    f, p = _frontier(spark), _policies(spark)
+    allowed, blocked = apply_robots(f, p)
+    assert blocked.count() == 1
+    assert blocked.first().path == "/private/1"
+    assert allowed.filter(F.col("path").startswith("/private")).count() == 0
+
+
+def test_budget_waves_and_spill(spark):
+    f, p = _frontier(spark), _policies(spark)
+    allowed, _ = apply_robots(f, p)
+    ranked = priority_frontier(allowed)
+    budgeted = budget_waves(ranked, p)
+    due, spill = split_wave(budgeted)
+    a_due = due.filter(F.col("host") == "a.com")
+    assert a_due.count() == 6  # budget binds
+    assert spill.filter(F.col("host") == "a.com").count() == 20 - 6
+    # priority: the 6 due rows are the best (score desc, rank asc)
+    got = {r.url for r in a_due.collect()}
+    rows = sorted(
+        [r for r in allowed.filter(F.col("host") == "a.com").collect()],
+        key=lambda r: (-r.score, r.discovery_rank),
+    )[:6]
+    assert got == {r.url for r in rows}
+    # schedule offsets: rank r in wave ⇒ (r-1)*delay
+    offs = sorted(r.scheduled_at_s for r in a_due.collect())
+    assert offs == [0.0, 2.0, 4.0, 6.0, 8.0, 10.0]
+
+
+def test_wave_offsets_cover_all_rows(spark):
+    f, p = _frontier(spark), _policies(spark)
+    allowed, _ = apply_robots(f, p)
+    budgeted = budget_waves(priority_frontier(allowed), p)
+    per_wave = budgeted.filter(F.col("host") == "a.com").groupBy("wave_offset").count()
+    rows = {r.wave_offset: r["count"] for r in per_wave.collect()}
+    assert rows == {0: 6, 1: 6, 2: 6, 3: 2}
+
+
+def test_skew_census_and_salting(spark):
+    f, p = _frontier(spark), _policies(spark)
+    allowed, _ = apply_robots(f, p)
+    due, _ = split_wave(budget_waves(priority_frontier(allowed), p))
+    census = skew_census(due, threshold=4)
+    hot = {r.host: r.n_salts for r in census.collect()}
+    assert "a.com" in hot and hot["a.com"] >= 2
+    salted = salt_hot_hosts(due, census)
+    a_keys = {r.fetch_key for r in salted.filter(F.col("host") == "a.com").collect()}
+    assert len(a_keys) > 1 and all("#" in k for k in a_keys)
+    b_keys = {r.fetch_key for r in salted.filter(F.col("host") == "b.com").collect()}
+    assert b_keys == {"b.com"}  # cold host untouched

@@ -1,0 +1,55 @@
+"""Similarity: exact cosine top-k vs numpy, SRP-ANN recall."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from newsraag_crawler_spark.operators.similarity import cosine_topk, srp_topk
+
+DIM = 16
+
+
+def _emb_df(spark, n=200, seed=7):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, DIM))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), vecs
+
+
+def test_cosine_topk_matches_numpy(spark):
+    df, vecs = _emb_df(spark)
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = cosine_topk(df, queries, k=5)
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(3):
+        order = np.lexsort((np.arange(len(vecs)), -sims[q]))[:5]
+        got_ids = [
+            r.vec_id
+            for r in got.filter(F.col("query_id") == q).orderBy("rank").collect()
+        ]
+        assert got_ids == list(order), q
+
+
+def test_srp_topk_recall(spark):
+    """Recall on CLUSTERED data (the regime ANN is for): 20 tight clusters;
+    a query's true top-10 are its cluster-mates, which SRP buckets keep."""
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((20, DIM)) * 4
+    vecs = np.concatenate(
+        [c + 0.1 * rng.standard_normal((10, DIM)) for c in centers]
+    )
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id").isin([0, 10, 20, 30, 40])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(df, queries, k=10)
+    approx = srp_topk(df, queries, k=10, n_bits=10, dim=DIM)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, recall

@@ -1,0 +1,64 @@
+"""Snapshot store: append/read, time travel, lineage resume, retention
+delete, atomicity against torn manifests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from newsraag_crawler_spark.storage.snapshot_store import SnapshotTable
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    assert not t.exists()
+    t.append(spark.range(5).withColumn("wave", F.lit(0)), lineage={"wave": 0})
+    t.append(spark.range(5, 8).withColumn("wave", F.lit(1)), lineage={"wave": 1})
+    assert t.current_version() == 2
+    assert t.read().count() == 8
+    assert t.read(version=1).count() == 5  # time travel
+    assert t.current_lineage() == {"wave": 1}
+
+
+def test_resume_from_lineage(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = SnapshotTable(spark, path)
+    t.append(spark.range(10), lineage={"wave": 3, "frontier_offset": 1000})
+    # simulate a fresh process resuming
+    t2 = SnapshotTable(spark, path)
+    lin = t2.current_lineage()
+    assert lin["wave"] == 3 and lin["frontier_offset"] == 1000
+    assert t2.read().count() == 10
+
+
+def test_overwrite_compaction(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(10))
+    t.overwrite(spark.range(3), lineage={"op": "compact"})
+    assert t.read().count() == 3
+    assert t.read(version=1).count() == 10  # history preserved
+
+
+def test_delete_where_retention(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(10).withColumn("age_h", F.col("id").cast("double")))
+    t.delete_where(F.col("age_h") > 5.0)
+    assert t.read().count() == 6  # 0..5 kept
+
+
+def test_torn_manifest_invisible(spark, tmp_path):
+    """A crash mid-snapshot (data written, manifest not committed) must leave
+    the previous version intact and the new data invisible."""
+    path = str(tmp_path / "t")
+    t = SnapshotTable(spark, path)
+    t.append(spark.range(4), lineage={"wave": 0})
+    # write a data dir WITHOUT committing the manifest (simulated crash)
+    spark.range(100).write.mode("overwrite").parquet(os.path.join(path, "snap-00099"))
+    assert t.read().count() == 4
+    assert t.current_version() == 1
+    # manifest is valid json (no partial writes)
+    with open(os.path.join(path, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["current"] == 1
