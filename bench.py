@@ -26,7 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "300000"))
+# large enough that per-row (linearly scaling) work dominates the fixed
+# ~30s of job/stage scheduling — the scaling-efficiency measurement needs
+# the parallel fraction to dwarf the constant part (Amdahl)
+N_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "1500000"))
 N_SMALL = max(CPUS // 4, 2)
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 
@@ -98,10 +101,13 @@ def crawl_wave_bench(spark, n_urls: int) -> tuple[int, float]:
     shards.count(), seen.count()  # materialize state outside the timed span
 
     t0 = time.time()
+    # canonicalize ONCE and materialize: every downstream reference to the
+    # key (bloom positions, shard routing, joins) would otherwise inline the
+    # full regex normalization tree per reference (observed ~7× JVM cost)
     f = frontier.withColumn("surt_url", surt_url(F.col("url"))).withColumn(
         "path",
         F.regexp_extract(F.col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
-    )
+    ).localCheckpoint(eager=True)
     fresh = seen_filter_two_phase(
         f.withColumnRenamed("surt_url", "key"), seen, shards,
         n_shards=64, n_bits=n_bits, n_hashes=n_hashes,
@@ -109,6 +115,8 @@ def crawl_wave_bench(spark, n_urls: int) -> tuple[int, float]:
     ranked = priority_frontier(fresh, rank_col="feed_rank")
     budgeted = budget_waves(ranked, policies, default_budget=200, default_delay_s=1.0)
     due, _spill = split_wave(budgeted)
+    # census, salt and fetch all consume `due` — materialize it once
+    due = due.persist()
     census = skew_census(due, threshold=5000)
     salted = salt_hot_hosts(due, census)
     # explicit partition count: AQE would coalesce the byte-small pre-fetch
@@ -143,16 +151,38 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _wave_subprocess(cpus: int, n_urls: int) -> tuple[int, float]:
+    """Run one timed wave in a FRESH OS process: back-to-back sessions in
+    one process interfere (lingering python daemons, allocator state) and
+    add 50%+ run-to-run variance."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--wave", str(cpus), str(n_urls)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    d = json.loads(line)
+    return d["fetched"], d["elapsed"]
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--wave":
+        cpus, n_urls = int(sys.argv[2]), int(sys.argv[3])
+        spark = _fresh_session(cpus)
+        n, dt = crawl_wave_bench(spark, n_urls)
+        spark.stop()
+        print(json.dumps({"fetched": n, "elapsed": dt}))
+        return
+
     results: dict = {}
     scaling = {}
     if RUN_SCALING:
-        spark_small = _fresh_session(N_SMALL)
-        n_s, t_s = crawl_wave_bench(spark_small, N_URLS)
+        n_s, t_s = _wave_subprocess(N_SMALL, N_URLS)
         thr_s = n_s / t_s
-        spark_small.stop()
-    spark = _fresh_session(CPUS)
-    n_b, t_b = crawl_wave_bench(spark, N_URLS)
+    n_b, t_b = _wave_subprocess(CPUS, N_URLS)
     thr_b = n_b / t_b
     if RUN_SCALING:
         eff = (thr_b / thr_s) / (CPUS / N_SMALL)
@@ -165,6 +195,7 @@ def main() -> None:
             "fetched_small": n_s,
             "fetched_big": n_b,
         }
+    spark = _fresh_session(CPUS)
     qtimes = run_queries(spark, SF_DIR)
 
     results = {

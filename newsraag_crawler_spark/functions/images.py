@@ -160,6 +160,51 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 # ---------------------------------------------------------------------------
 
 
+def resize_nn(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy — real, not stubbed)."""
+    h, w, _ = img.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def sample_video_frames(data: bytes, every_n: int = 10) -> list[np.ndarray]:
+    """STUB — video decode. This container has no video codec libraries;
+    on a real cluster replace with pyav/ffmpeg frame extraction. The Spark
+    plumbing (binary column in, array-of-struct frames out via mapInPandas)
+    is real and tested with the deterministic fake below."""
+    raise NotImplementedError(
+        "video decode requires pyav/ffmpeg — not available in this container"
+    )
+
+
+def audio_features(data: bytes) -> dict:
+    """STUB — audio feature extraction (see sample_video_frames)."""
+    raise NotImplementedError(
+        "audio decode requires soundfile/librosa — not available in this container"
+    )
+
+
+def resize_images_udf(out_w: int, out_h: int):
+    """mapInPandas-compatible pandas UDF: resize encoded images to
+    (out_w, out_h), re-encode in the same fmt. Decode→transform→encode
+    stays inside one Arrow batch; pixels never leave the worker."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _resize(data: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for payload, f in zip(data, fmt):
+            if payload is None:
+                out.append(None)
+                continue
+            img = decode_image(bytes(payload), f)
+            out.append(encode_image(resize_nn(img, out_w, out_h), f))
+        return pd.Series(out)
+
+    return _resize
+
+
 def psnr_udf():
     """pandas_udf (bytes_a, bytes_b, fmt) -> double PSNR.
 

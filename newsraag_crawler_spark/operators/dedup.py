@@ -204,8 +204,17 @@ def seen_filter_two_phase(
     Bloom-negative rows are definitely new (no shuffle for them); only
     Bloom-positive rows (true positives + FPR) are exact-confirmed against
     the seen table. Output = rows of df definitely not in seen.
+
+    The probe result is persisted before the fresh/maybe split: the two
+    union branches would otherwise each re-run the probe (and everything
+    upstream of it) — Spark reuses exchanges, not arbitrary subtrees.
     """
-    probed = probe_bloom(df, shards, key, n_shards, n_bits, n_hashes)
+    # eager: the fresh/maybe branches run as CONCURRENT stages under one
+    # action — a lazy persist would let both race to compute the uncached
+    # upstream, doubling the probe work
+    probed = probe_bloom(df, shards, key, n_shards, n_bits, n_hashes).localCheckpoint(
+        eager=True
+    )
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     candidates = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = candidates.join(seen.select(key), key, "left_anti")

@@ -135,6 +135,10 @@ def run_scale_wave(
     ranked = priority_frontier(allowed, rank_col="feed_rank")
     budgeted = budget_waves(ranked, policies)
     due, spill = split_wave(budgeted)
+    # census, salting, seen_additions and fetch all consume `due`; persist
+    # so the upstream (canonicalize → robots → seen filter → windows) runs
+    # once per wave, not once per consumer branch
+    due = due.persist()
     census = skew_census(due, threshold=skew_threshold)
     salted = salt_hot_hosts(due, census)
     # politeness groups stay intact per host; fetch partitions by fetch_key.

@@ -556,6 +556,225 @@ WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.key = f.key)
 """
 
 
+def q_content_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: split oversized content into fixed-size chunks with
+    chunk_index/n_chunks (reference qdrant_client.py:245-317, 500-char
+    chunks here) via posexplode over a sequence — no UDF."""
+    d = _docs(spark, sf_dir)
+    size = 500
+    n_chunks = F.ceil(F.length("text") / size).cast("int")
+    d = d.withColumn("n_chunks", n_chunks)
+    return d.select(
+        "doc_id",
+        "n_chunks",
+        F.posexplode(
+            F.expr(f"transform(sequence(0, n_chunks - 1), i -> substring(text, i*{size}+1, {size}))")
+        ).alias("chunk_index", "chunk"),
+    )
+
+
+_SQL_CHUNKING = """
+SELECT doc_id, ceil(length(text) / 500.0)::INT AS n_chunks,
+       i::INT AS chunk_index,
+       substring(text, (i*500+1)::INT, 500) AS chunk
+FROM documents, unnest(range(0, ceil(length(text) / 500.0)::BIGINT)) AS t(i)
+"""
+
+
+def q_fuzzy_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: fuzzy date extraction — regex chain over three text shapes with a
+    deterministic fallback (reference rss_template.py:186-264; fallback
+    now-30d becomes a fixed date for determinism)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = (
+        F.when(
+            F.pmod("event_id", F.lit(3)) == 0,
+            F.concat(F.lit("Date: "), F.date_format("ts", "MMM d, yyyy")),
+        )
+        .when(
+            F.pmod("event_id", F.lit(3)) == 1,
+            F.concat(F.date_format("ts", "yyyy-MM-dd"), F.lit(" Updated")),
+        )
+        .otherwise(F.lit("no date in this content"))
+    )
+    ev = ev.select("event_id", raw.alias("raw_text"))
+    p1 = F.regexp_extract("raw_text", "Date: ([A-Za-z]+ [0-9]{1,2}, [0-9]{4})", 1)
+    p2 = F.regexp_extract("raw_text", "([0-9]{4}-[0-9]{2}-[0-9]{2}) Updated", 1)
+    parsed = F.coalesce(
+        F.when(p1 != "", F.to_date(p1, "MMM d, yyyy")),
+        F.when(p2 != "", F.to_date(p2, "yyyy-MM-dd")),
+        F.lit("2026-01-01").cast("date"),
+    )
+    return ev.select("event_id", "raw_text", parsed.alias("published_date"))
+
+
+_SQL_FUZZY_DATE = """
+WITH raw AS (
+  SELECT event_id,
+    CASE WHEN event_id % 3 = 0 THEN 'Date: ' || strftime(ts, '%b %-d, %Y')
+         WHEN event_id % 3 = 1 THEN strftime(ts, '%Y-%m-%d') || ' Updated'
+         ELSE 'no date in this content' END AS raw_text
+  FROM events)
+SELECT event_id, raw_text,
+  COALESCE(
+    CASE WHEN regexp_extract(raw_text, 'Date: ([A-Za-z]+ [0-9]{1,2}, [0-9]{4})', 1) <> ''
+         THEN strptime(regexp_extract(raw_text, 'Date: ([A-Za-z]+ [0-9]{1,2}, [0-9]{4})', 1), '%b %d, %Y')::DATE END,
+    CASE WHEN regexp_extract(raw_text, '([0-9]{4}-[0-9]{2}-[0-9]{2}) Updated', 1) <> ''
+         THEN regexp_extract(raw_text, '([0-9]{4}-[0-9]{2}-[0-9]{2}) Updated', 1)::DATE END,
+    DATE '2026-01-01') AS published_date
+FROM raw
+"""
+
+
+def q_tz_blobpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9+C15: UTC→US/Pacific storage timestamp + dated blob path
+    (reference base_template.py:436-458, azure_utils.py:54-73)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pst = F.from_utc_timestamp("ts", "America/Los_Angeles")
+    return ev.select(
+        "event_id",
+        pst.alias("ts_pst"),
+        F.concat(
+            F.date_format(pst, "yyyy/MM/dd"), F.lit("/"),
+            F.col("event_id").cast("string"), F.lit(".json"),
+        ).alias("blob_path"),
+    )
+
+
+_SQL_TZ_BLOB = """
+WITH pst AS (
+  SELECT event_id,
+         timezone('America/Los_Angeles', timezone('UTC', ts)) AS ts_pst
+  FROM events)
+SELECT event_id, ts_pst,
+       strftime(ts_pst, '%Y/%m/%d') || '/' || event_id::VARCHAR || '.json' AS blob_path
+FROM pst
+"""
+
+
+def q_host_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: per-host health rollup — consecutive trailing failures ≥ 3 ⇒
+    unhealthy (reference source_models.py:97-115). Hosts stood in by
+    event_type; success = value > 0.2."""
+    from .operators.stats import host_health
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    log = ev.select(
+        F.col("event_type").alias("host"),
+        F.row_number().over(w).alias("fetched_rank"),
+        (F.col("value") > 0.2).alias("success"),
+        F.round(F.col("value").cast("decimal(18,6)"), 3).cast("double").alias("elapsed_s"),
+    )
+    out = host_health(log, failure_threshold=3)
+    return out.select(
+        "host", "n", "consecutive_failures",
+        F.round(F.col("avg_response_s").cast("decimal(18,9)"), 4).cast("double").alias("avg_response_s"),
+        "healthy",
+    )
+
+
+_SQL_HOST_HEALTH = """
+WITH log AS (
+  SELECT event_type AS host,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS fetched_rank,
+         value > 0.2 AS success,
+         round(CAST(value AS DECIMAL(18,6)), 3)::DOUBLE AS elapsed_s
+  FROM events),
+lastok AS (
+  SELECT host, max(CASE WHEN success THEN fetched_rank END) AS last_ok FROM log GROUP BY host)
+SELECT log.host, count(*) AS n,
+       sum(CASE WHEN fetched_rank > COALESCE(last_ok, -1) THEN 1 ELSE 0 END) AS consecutive_failures,
+       round(CAST(avg(elapsed_s) AS DECIMAL(18,9)), 4)::DOUBLE AS avg_response_s,
+       sum(CASE WHEN fetched_rank > COALESCE(last_ok, -1) THEN 1 ELSE 0 END) < 3 AS healthy
+FROM log JOIN lastok ON log.host = lastok.host
+GROUP BY log.host
+"""
+
+
+def q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: the metrics-registry pivot — status counts per bucket
+    (reference metrics.py:100-134)."""
+    from .operators.stats import status_pivot
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = ev.select(
+        F.pmod("user_id", F.lit(10)).alias("bucket"),
+        F.when(F.col("value") < 0.3, F.lit("failed"))
+        .when(F.col("value") < 0.7, F.lit("processed"))
+        .otherwise(F.lit("skipped"))
+        .alias("status"),
+    )
+    return status_pivot(d, "bucket", "status", ["failed", "processed", "skipped"])
+
+
+_SQL_STATUS_PIVOT = """
+WITH d AS (
+  SELECT user_id % 10 AS bucket,
+         CASE WHEN value < 0.3 THEN 'failed'
+              WHEN value < 0.7 THEN 'processed'
+              ELSE 'skipped' END AS status
+  FROM events)
+SELECT bucket,
+       COALESCE(count(*) FILTER (WHERE status = 'failed'), 0) AS failed,
+       COALESCE(count(*) FILTER (WHERE status = 'processed'), 0) AS processed,
+       COALESCE(count(*) FILTER (WHERE status = 'skipped'), 0) AS skipped
+FROM d GROUP BY bucket
+"""
+
+
+def q_trend_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: frame-spec trend — avg(last 5) vs avg(prev 5) growth per series
+    (reference memory_optimizer.py:97-122), decimal-exact then rounded."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dec = F.col("value").cast("decimal(28,10)")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    recent = F.avg(dec).over(w.rowsBetween(-4, 0))
+    prev = F.avg(dec).over(w.rowsBetween(-9, -5))
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.round(recent, 6).cast("double").alias("recent_avg"),
+        F.round(recent / F.coalesce(prev, recent), 6).cast("double").alias("growth_ratio"),
+    )
+
+
+_SQL_TREND = """
+SELECT event_type, event_id,
+  round(avg(CAST(value AS DECIMAL(28,10))) OVER w5, 6)::DOUBLE AS recent_avg,
+  round(avg(CAST(value AS DECIMAL(28,10))) OVER w5
+        / COALESCE(avg(CAST(value AS DECIMAL(28,10))) OVER wp,
+                   avg(CAST(value AS DECIMAL(28,10))) OVER w5), 6)::DOUBLE AS growth_ratio
+FROM events
+WINDOW w5 AS (PARTITION BY event_type ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       wp AS (PARTITION BY event_type ORDER BY event_id ROWS BETWEEN 9 PRECEDING AND 5 PRECEDING)
+"""
+
+
+def q_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: retention semantics — rows surviving a cutoff, per day
+    (the snapshot-store delete_where path is pytest-gated; this is the
+    partition-pruned filter shape)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cutoff = "2024-06-01"
+    return (
+        ev.filter(F.col("ts") >= cutoff)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("kept"))
+    )
+
+
+_SQL_RETENTION = """
+SELECT date_trunc('day', ts) AS day, count(*) AS kept
+FROM events WHERE ts >= TIMESTAMP '2024-06-01'
+GROUP BY 1
+"""
+
+
 # -- rows-only (non-SQL-expressible) ------------------------------------------
 
 
@@ -582,6 +801,30 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "url", "fmt", "phash", "s.w", "s.h", F.round("s.mean_lum", 3).alias("mean_lum")
     )
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal transform: decode → nearest-neighbor resize → re-encode
+    inside Arrow batches (rows-only: binary codec)."""
+    from .functions.images import image_stats_udf, resize_images_udf
+    from .operators.wave import fetch_images
+
+    d = (
+        _docs_with_url(spark, sf_dir)
+        .filter(F.col("doc_id") < 30)
+        .select(
+            "url",
+            F.col("source").alias("source_name"),
+            F.lit(0).alias("source_id"),
+            F.col("doc_id").alias("seq"),
+        )
+    )
+    corpus = fetch_images(d, seed=42)
+    small = corpus.withColumn("small", resize_images_udf(16, 16)("bytes", "fmt"))
+    stats = small.select(
+        "url", "fmt", image_stats_udf()("small", "fmt").alias("s")
+    )
+    return stats.select("url", "fmt", "s.w", "s.h")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,6 +894,13 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_antijoin": q_seen_antijoin,
         "per_source_cap": q_per_source_cap,
         "politeness_waves": q_politeness_waves,
+        "content_chunking": q_content_chunking,
+        "fuzzy_date_parse": q_fuzzy_date_parse,
+        "tz_blobpath": q_tz_blobpath,
+        "host_health": q_host_health,
+        "status_pivot": q_status_pivot,
+        "trend_window": q_trend_window,
+        "retention_delete": q_retention_delete,
         "reference_schedule": q_reference_schedule,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -662,6 +912,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_seen_filter": q_bloom_seen_filter,
         # rows-only (no SQL oracle)
         "image_stats": q_image_stats,
+        "image_resize": q_image_resize,
         "simhash_fingerprint": q_simhash,
         "srp_ann_topk": q_srp_ann,
         "crawl_wave_scale": q_crawl_wave_scale,
@@ -677,6 +928,13 @@ def oracles() -> dict[str, str]:
         "seen_antijoin": _sql_seen_antijoin(),
         "per_source_cap": _SQL_PER_SOURCE_CAP,
         "politeness_waves": _SQL_POLITENESS,
+        "content_chunking": _SQL_CHUNKING,
+        "fuzzy_date_parse": _SQL_FUZZY_DATE,
+        "tz_blobpath": _SQL_TZ_BLOB,
+        "host_health": _SQL_HOST_HEALTH,
+        "status_pivot": _SQL_STATUS_PIVOT,
+        "trend_window": _SQL_TREND,
+        "retention_delete": _SQL_RETENTION,
         "reference_schedule": _sql_reference_schedule(),
         "dedup_exact": _sql_dedup_exact(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),

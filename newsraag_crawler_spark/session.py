@@ -51,7 +51,12 @@ def build_session(
         # payloads stays ~tens of MB, not GBs (SURVEY.md §7.3.4)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Deliberately MODEST heap: on this virtualized host, large heaps
+        # (32g+) collapse 32-thread JVM throughput 4-8x — G1 touching tens
+        # of GB of fresh pages causes a page-fault storm (measured:
+        # identical 2M-row canonicalize 2.6s @8g vs 21.7s @64g). The wave's
+        # JVM working set is small; big payloads stream through Arrow.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

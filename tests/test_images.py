@@ -55,3 +55,37 @@ def test_image_stats_udf(spark):
     r = df.select(images.image_stats_udf()("bytes", "fmt").alias("s")).select("s.*").first()
     assert (r.w, r.h) == (50, 40)
     assert r.phash == images.phash64(img)
+
+
+def test_resize_nn_shapes_and_determinism():
+    from newsraag_crawler_spark.functions.images import resize_nn
+
+    img = images.synth_image(11, 100, 60)
+    small = resize_nn(img, 32, 32)
+    assert small.shape == (32, 32, 3)
+    assert np.array_equal(small, resize_nn(img, 32, 32))
+
+
+def test_resize_images_udf(spark):
+    from newsraag_crawler_spark.functions.images import resize_images_udf
+
+    img = images.synth_image(3, 90, 70)
+    df = spark.createDataFrame(
+        [(bytearray(images.png_encode(img)), "png"),
+         (bytearray(images.lossy_encode(img)), "jpeg")],
+        ["bytes", "fmt"],
+    )
+    out = df.select(resize_images_udf(16, 16)("bytes", "fmt").alias("small"), "fmt").collect()
+    for r in out:
+        dec = images.decode_image(bytes(r.small), r.fmt)
+        assert dec.shape == (16, 16, 3)
+
+
+def test_video_audio_stubs_raise():
+    import pytest as _pytest
+    from newsraag_crawler_spark.functions.images import audio_features, sample_video_frames
+
+    with _pytest.raises(NotImplementedError):
+        sample_video_frames(b"xx")
+    with _pytest.raises(NotImplementedError):
+        audio_features(b"xx")

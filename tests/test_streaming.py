@@ -1,0 +1,81 @@
+"""Structured Streaming tier: ingestion, stateful dedup, windowed metrics,
+checkpoint restart."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from newsraag_crawler_spark.storage.snapshot_store import SnapshotTable
+from newsraag_crawler_spark.streaming import frontier_stream as fs
+
+
+def _write_batch(spark, path, urls, base_rank=0):
+    rows = [
+        Row(
+            url=u,
+            source_id=0,
+            feed_rank=base_rank + i,
+            score=0.5,
+            discovered_at=__import__("datetime").datetime(2026, 1, 1, 0, 0, i % 60),
+        )
+        for i, u in enumerate(urls)
+    ]
+    spark.createDataFrame(rows, fs.FRONTIER_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return str(tmp_path / "in"), str(tmp_path / "ckpt"), tmp_path
+
+
+def test_stream_crawl_end_to_end(spark, dirs):
+    input_dir, ckpt, tmp = dirs
+    corpus_t = SnapshotTable(spark, str(tmp / "corpus"))
+    seen_t = SnapshotTable(spark, str(tmp / "seen"))
+
+    urls1 = [f"https://A.example.com/articles/{i}" for i in range(10)]
+    urls1 += ["https://a.example.com/articles/0/"]  # SURT-dup of #0
+    _write_batch(spark, input_dir, urls1)
+
+    q = fs.stream_crawl(spark, input_dir, corpus_t, seen_t, ckpt)
+    q.awaitTermination(120)
+    n1 = corpus_t.read().count()
+    assert n1 == 10  # SURT variant deduped in-stream
+
+    # second run: re-list 5 old urls + 5 new -> only new fetched
+    urls2 = [f"https://a.example.com/articles/{i}" for i in range(5)]
+    urls2 += [f"https://b.example.com/articles/{i}" for i in range(5)]
+    _write_batch(spark, input_dir, urls2, base_rank=100)
+    q2 = fs.stream_crawl(spark, input_dir, corpus_t, seen_t, ckpt)
+    q2.awaitTermination(120)
+
+    total = corpus_t.read().count()
+    assert total == 15, total
+    new_urls = {
+        r.url for r in corpus_t.read().filter(F.col("wave") >= 1).collect()
+    }
+    assert all("b.example.com" in u for u in new_urls)
+    # seen table covers every fetched surt key
+    assert seen_t.read().distinct().count() == 15
+
+
+def test_windowed_host_metrics(spark, dirs):
+    input_dir, ckpt, tmp = dirs
+    urls = [f"https://h{i % 2}.example.com/a/{i}" for i in range(20)]
+    _write_batch(spark, input_dir, urls)
+    stream = fs.canonicalize_stream(fs.read_frontier_stream(spark, input_dir))
+    agg = fs.windowed_host_metrics(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("host_metrics")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.host: r.discovered for r in spark.sql("select * from host_metrics").collect()}
+    assert rows == {"h0.example.com": 10, "h1.example.com": 10}
