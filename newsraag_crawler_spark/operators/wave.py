@@ -99,6 +99,78 @@ def run_equivalence_cycle(
     return ScheduleResult(sched.attempted, corpus, sched.stats)
 
 
+def run_crawl(
+    spark,
+    seeds: DataFrame,
+    policies: DataFrame,
+    tables: dict,
+    max_waves: int = 10,
+    links_per_page: int = 0,
+    n_articles: int | None = None,
+    seed: int = 42,
+) -> dict:
+    """Multi-wave crawl driver with snapshot resume (SURVEY.md §7.1 M5).
+
+    tables: {'frontier','corpus','seen','metrics'} → SnapshotTable. Each
+    wave commits corpus+seen+frontier+metrics snapshots; a killed run
+    resumes from the frontier table's lineage (wave number) — the Iceberg
+    checkpoint pattern replacing the reference's heartbeat/seen-cache files
+    (`main.py:262-268`, `seen_tracker.py:67-82`).
+
+    Returns {'waves_run': int, 'last_wave': int}.
+    """
+    from pyspark.sql import functions as F
+
+    frontier_t, corpus_t, seen_t, metrics_t = (
+        tables["frontier"], tables["corpus"], tables["seen"], tables["metrics"],
+    )
+    if frontier_t.exists():
+        lin = frontier_t.current_lineage() or {}
+        wave = int(lin.get("next_wave", 0))
+        frontier = frontier_t.read()
+    else:
+        wave = 0
+        frontier = seeds
+    waves_run = 0
+    while wave < max_waves:
+        if frontier.isEmpty():
+            break
+        seen = seen_t.read() if seen_t.exists() else None
+        out = run_scale_wave(
+            frontier, policies, seen, wave=wave, seed=seed,
+            links_per_page=links_per_page, n_articles=n_articles,
+        )
+        n_fetched = out["corpus"].count()
+        corpus_t.append(out["corpus"], lineage={"wave": wave, "rows": n_fetched})
+        seen_t.append(out["seen_additions"], lineage={"wave": wave})
+        next_frontier = out["spill"].select(
+            "url", "source_id", "feed_rank", "score",
+        ).withColumn("wave", F.lit(wave + 1))
+        if "new_links" in out:
+            fresh = out["new_links"].select(
+                "url",
+                F.lit(-1).alias("source_id"),
+                F.xxhash64("url").alias("feed_rank"),
+                F.lit(0.5).alias("score"),
+                F.lit(wave + 1).alias("wave"),
+            )
+            next_frontier = next_frontier.unionByName(fresh)
+        frontier_t.overwrite(
+            next_frontier,
+            lineage={"next_wave": wave + 1, "prev_fetched": n_fetched},
+        )
+        metrics_t.append(
+            spark.createDataFrame(
+                [(wave, n_fetched)], "wave int, fetched long"
+            ),
+            lineage={"wave": wave},
+        )
+        frontier = frontier_t.read()
+        wave += 1
+        waves_run += 1
+    return {"waves_run": waves_run, "last_wave": wave - 1}
+
+
 def run_scale_wave(
     frontier: DataFrame,
     policies: DataFrame,

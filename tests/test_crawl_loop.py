@@ -1,0 +1,86 @@
+"""Multi-wave crawl driver: link expansion, budget spill across waves,
+kill-and-resume from snapshot lineage (M5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from newsraag_crawler_spark.operators.wave import run_crawl
+from newsraag_crawler_spark.storage.snapshot_store import SnapshotTable
+
+N_ART = 200
+
+
+def _seeds(spark, n=40):
+    return spark.createDataFrame(
+        [
+            Row(
+                url=f"https://host{i % 4}.example.com/articles/{i}",
+                source_id=i % 4,
+                feed_rank=i,
+                score=0.9,
+                wave=0,
+            )
+            for i in range(n)
+        ]
+    )
+
+
+def _policies(spark):
+    return spark.createDataFrame(
+        [
+            Row(host=f"host{i}.example.com", crawl_delay_s=1.0, per_wave_budget=15,
+                robots_disallow=["/private"])
+            for i in range(4)
+        ]
+    )
+
+
+def _tables(spark, tmp, name):
+    return {
+        k: SnapshotTable(spark, str(tmp / name / k))
+        for k in ("frontier", "corpus", "seen", "metrics")
+    }
+
+
+def test_multiwave_expansion_and_spill(spark, tmp_path):
+    t = _tables(spark, tmp_path, "a")
+    res = run_crawl(
+        spark, _seeds(spark), _policies(spark), t,
+        max_waves=4, links_per_page=2, n_articles=N_ART,
+    )
+    assert res["waves_run"] == 4
+    corpus = t["corpus"].read()
+    # each wave fetched something and no url was fetched twice
+    per_wave = {r.wave: r["cnt"] for r in corpus.groupBy("wave").agg(F.count("*").alias("cnt")).collect()}
+    assert set(per_wave) == {0, 1, 2, 3}
+    assert corpus.count() == corpus.select("url").distinct().count()
+    # budget respected every wave
+    host_wave = (
+        corpus.withColumn("host", F.regexp_extract("url", "https://([^/]+)/", 1))
+        .groupBy("host", "wave").count()
+    )
+    assert host_wave.filter(F.col("count") > 15).count() == 0
+    # metrics snapshot per wave
+    assert t["metrics"].read().count() == 4
+
+
+def test_kill_and_resume(spark, tmp_path):
+    t = _tables(spark, tmp_path, "b")
+    seeds, pol = _seeds(spark), _policies(spark)
+    run_crawl(spark, seeds, pol, t, max_waves=2, links_per_page=2, n_articles=N_ART)
+    mid_corpus = t["corpus"].read().count()
+    mid_lineage = t["frontier"].current_lineage()
+    assert mid_lineage["next_wave"] == 2
+
+    # 'crash' happened here; a NEW driver resumes from the tables alone
+    t2 = _tables(spark, tmp_path, "b")
+    res = run_crawl(spark, seeds, pol, t2, max_waves=4, links_per_page=2, n_articles=N_ART)
+    assert res["last_wave"] == 3
+    corpus = t2["corpus"].read()
+    assert corpus.count() > mid_corpus
+    # resume did not refetch: still globally unique urls
+    assert corpus.count() == corpus.select("url").distinct().count()
+    waves = {r.wave for r in corpus.select("wave").distinct().collect()}
+    assert waves == {0, 1, 2, 3}
