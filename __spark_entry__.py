@@ -22,7 +22,9 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from newsraag_crawler_spark.operators.frontier import reference_schedule
     from newsraag_crawler_spark.operators.wave import fetch_images
+    from newsraag_crawler_spark.session import ensure_shipped
 
+    ensure_shipped(spark)
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     cands = docs.select(
         F.pmod(F.abs(F.hash("source")), F.lit(100)).cast("int").alias("source_id"),

@@ -45,6 +45,9 @@ _URL_DUCK = (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import ensure_shipped
+
+    ensure_shipped(spark)  # driver builds its own session; UDF queries need the pkg
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -755,6 +758,112 @@ WINDOW w5 AS (PARTITION BY event_type ORDER BY event_id ROWS BETWEEN 4 PRECEDING
 """
 
 
+_SKIP_RE = "/(search|tag|category|login)/|\\.(jpg|png|gif|css|js)$|/api/"
+_KEEP_RE = "/(news|article|story|docs)/|/20[0-9]{2}/"
+
+
+def q_url_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: article-URL classifier — skip-list regex, keep-list regex, date
+    pattern (reference html_template.py:362-395). URLs synthesized with all
+    three shapes from doc_id."""
+    d = _docs(spark, sf_dir)
+    path = (
+        F.when(F.pmod("doc_id", F.lit(5)) == 0, F.concat(F.lit("/tag/t"), F.col("doc_id").cast("string")))
+        .when(F.pmod("doc_id", F.lit(5)) == 1, F.concat(F.lit("/assets/img"), F.col("doc_id").cast("string"), F.lit(".jpg")))
+        .when(F.pmod("doc_id", F.lit(5)) == 2, F.concat(F.lit("/news/item"), F.col("doc_id").cast("string")))
+        .when(F.pmod("doc_id", F.lit(5)) == 3, F.concat(F.lit("/2024/"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("/misc/"), F.col("doc_id").cast("string")))
+    )
+    url = F.concat(F.lit("https://h.example.com"), path)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        url.alias("url"),
+        (~url.rlike(_SKIP_RE) & url.rlike(_KEEP_RE)).alias("is_article"),
+    )
+
+
+def _sql_url_classifier() -> str:
+    path = (
+        "CASE WHEN doc_id % 5 = 0 THEN '/tag/t' || doc_id::VARCHAR "
+        "WHEN doc_id % 5 = 1 THEN '/assets/img' || doc_id::VARCHAR || '.jpg' "
+        "WHEN doc_id % 5 = 2 THEN '/news/item' || doc_id::VARCHAR "
+        "WHEN doc_id % 5 = 3 THEN '/2024/' || doc_id::VARCHAR "
+        "ELSE '/misc/' || doc_id::VARCHAR END"
+    )
+    url = f"'https://h.example.com' || ({path})"
+    return f"""
+SELECT doc_id, {url} AS url,
+       (NOT regexp_matches({url}, '{_SKIP_RE}'))
+       AND regexp_matches({url}, '{_KEEP_RE}') AS is_article
+FROM documents
+"""
+
+
+def q_smart_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17: truncate to a budget, cutting at the last sentence end inside
+    the budget when that keeps >= 80% of it (reference cleaner.py:75-83)."""
+    d = _docs(spark, sf_dir)
+    budget = 400
+    head = F.substring("text", 1, budget)
+    # greedy regex: everything up to the LAST '.' in the head
+    upto_dot = F.regexp_extract(head, "^(.*)\\.", 1)
+    use_dot = (F.length(upto_dot) >= int(budget * 0.8)) & (F.length("text") > budget)
+    truncated = F.when(F.length("text") <= budget, F.col("text")).otherwise(
+        F.when(use_dot, F.concat(upto_dot, F.lit("."))).otherwise(head)
+    )
+    return d.select("doc_id", truncated.alias("truncated"), F.length(truncated).alias("n"))
+
+
+def _sql_smart_truncation() -> str:
+    budget = 400
+    head = f"substring(text, 1, {budget})"
+    upto = f"regexp_extract({head}, '^(.*)\\.', 1)"
+    return f"""
+SELECT doc_id,
+  CASE WHEN length(text) <= {budget} THEN text
+       WHEN length({upto}) >= {int(budget * 0.8)} THEN {upto} || '.'
+       ELSE {head} END AS truncated,
+  length(CASE WHEN length(text) <= {budget} THEN text
+       WHEN length({upto}) >= {int(budget * 0.8)} THEN {upto} || '.'
+       ELSE {head} END) AS n
+FROM documents
+"""
+
+
+def q_llm_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18: extract the ```json ...``` block from an LLM-style reply and
+    pull one field (reference cleaner.py:227-243). Replies synthesized."""
+    d = _docs(spark, sf_dir)
+    reply = F.concat(
+        F.lit('Sure! Here is the cleaned article:\n```json\n{"title": "T'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "lang": "'),
+        F.col("lang"),
+        F.lit('"}\n```\nLet me know!'),
+    )
+    block = F.regexp_extract(reply, "```json\\s*(\\{[^`]*\\})\\s*```", 1)
+    return d.select(
+        "doc_id",
+        block.alias("json_block"),
+        F.get_json_object(block, "$.title").alias("title"),
+        F.get_json_object(block, "$.lang").alias("lang_field"),
+    )
+
+
+def _sql_llm_json_extract() -> str:
+    reply = (
+        "'Sure! Here is the cleaned article:\n```json\n{\"title\": \"T' || "
+        "doc_id::VARCHAR || '\", \"lang\": \"' || lang || '\"}\n```\nLet me know!'"
+    )
+    block = f"regexp_extract({reply}, '```json\\s*(\\{{[^`]*\\}})\\s*```', 1)"
+    return f"""
+SELECT doc_id, {block} AS json_block,
+       json_extract_string({block}, '$.title') AS title,
+       json_extract_string({block}, '$.lang') AS lang_field
+FROM documents
+"""
+
+
 def q_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3: retention semantics — rows surviving a cutoff, per day
     (the snapshot-store delete_where path is pytest-gated; this is the
@@ -839,7 +948,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via signed-random-projection LSH (rows-only)."""
     from .operators.similarity import srp_topk
+    from .session import ensure_shipped
 
+    ensure_shipped(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
@@ -858,8 +969,10 @@ def q_crawl_wave_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Row
 
     from .operators.wave import run_scale_wave
+    from .session import ensure_shipped
     from .sources.synthetic import synth_frontier_df
 
+    ensure_shipped(spark)
     n = 2000
     frontier = synth_frontier_df(spark, n, n_hosts=20, hot_host_pct=30)
     policies = spark.createDataFrame(
@@ -901,6 +1014,9 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_pivot": q_status_pivot,
         "trend_window": q_trend_window,
         "retention_delete": q_retention_delete,
+        "url_classifier": q_url_classifier,
+        "smart_truncation": q_smart_truncation,
+        "llm_json_extract": q_llm_json_extract,
         "reference_schedule": q_reference_schedule,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -935,6 +1051,9 @@ def oracles() -> dict[str, str]:
         "status_pivot": _SQL_STATUS_PIVOT,
         "trend_window": _SQL_TREND,
         "retention_delete": _SQL_RETENTION,
+        "url_classifier": _sql_url_classifier(),
+        "smart_truncation": _sql_smart_truncation(),
+        "llm_json_extract": _sql_llm_json_extract(),
         "reference_schedule": _sql_reference_schedule(),
         "dedup_exact": _sql_dedup_exact(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),

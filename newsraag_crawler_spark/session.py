@@ -71,12 +71,16 @@ def _ship_package(spark: SparkSession) -> None:
     """Ship this package to executors (the local-mode equivalent of
     ``spark-submit --py-files pkg.zip``) so pandas-UDF closures that
     reference package modules resolve on Python workers regardless of the
-    driver's cwd."""
+    driver's cwd. Idempotent per SparkContext — safe to call from every
+    entry point (the external driver constructs its own session)."""
     import shutil
     import tempfile
 
     import newsraag_crawler_spark
 
+    sc = spark.sparkContext
+    if getattr(sc, "_newsraag_pkg_shipped", False):
+        return
     pkg_dir = os.path.dirname(newsraag_crawler_spark.__file__)
     zip_base = os.path.join(
         tempfile.gettempdir(), f"newsraag_crawler_spark_pkg_{os.getpid()}"
@@ -85,4 +89,10 @@ def _ship_package(spark: SparkSession) -> None:
         zip_base, "zip", root_dir=os.path.dirname(pkg_dir),
         base_dir="newsraag_crawler_spark",
     )
-    spark.sparkContext.addPyFile(zip_path)
+    sc.addPyFile(zip_path)
+    sc._newsraag_pkg_shipped = True
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Public alias used by driver-facing entry points."""
+    _ship_package(spark)

@@ -1,0 +1,102 @@
+"""Plan-quality gates: the physical plans the engine relies on at 100 TB —
+filter/column pushdown into parquet scans, whole-stage codegen for the URL
+kernel, broadcast joins for dimensions — asserted, not assumed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df, mode="formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_and_column_pushdown(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey", "l_quantity")
+    p = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p, p
+    # scan must read only the 3 needed columns, not all 11
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_shipdate" in p, p
+
+
+def test_canonicalizer_whole_stage_codegen(spark):
+    """The URL kernel must stay inside one codegen'd Project: no Python
+    eval, no extra exchanges."""
+    from newsraag_crawler_spark.functions.urlnorm import canonical_url, surt_url
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.concat(F.lit("https://www.Host"), F.col("doc_id").cast("string"),
+                 F.lit(".Example.COM/docs/x?b=2&a=1#f")).alias("url")
+    )
+    q = df.select(canonical_url("url").alias("c"), surt_url("url").alias("s"))
+    p = _plan(q)
+    # one map-side Project, JVM expressions only (the query-param sort uses
+    # a higher-order lambda, which is CodegenFallback — still JVM-side and
+    # regex-dominated, just not fused into WSCG)
+    assert "PythonUDF" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p  # pure map-side: no shuffle
+
+
+def test_dimension_join_is_broadcast(spark):
+    from newsraag_crawler_spark.queries import q_top_revenue_orders
+
+    p = _plan(q_top_revenue_orders(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_seen_antijoin_shape(spark):
+    """The catalog anti-join compiles to a real anti join (no fallback to
+    cartesian/BNLJ)."""
+    from newsraag_crawler_spark.queries import q_seen_antijoin
+
+    p = _plan(q_seen_antijoin(spark, SF))
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_politeness_single_exchange(spark):
+    """Priority ranking + budgeting reuse ONE hash exchange on host — the
+    wave's core shuffle-economy claim (README scale design)."""
+    from pyspark.sql import Row
+
+    from newsraag_crawler_spark.operators.frontier import priority_frontier
+    from newsraag_crawler_spark.operators.politeness import budget_waves
+    from newsraag_crawler_spark.sources.synthetic import synth_frontier_df
+
+    f = synth_frontier_df(spark, 1000, n_hosts=10)
+    pol = spark.createDataFrame(
+        [Row(host="host0.example.com", crawl_delay_s=1.0, per_wave_budget=10)]
+    )
+    q = budget_waves(priority_frontier(f, rank_col="feed_rank"), pol)
+    p = _plan(q, mode="simple")
+    # exactly one shuffle: the window partitioning on host; the policy join
+    # must broadcast (no second exchange for it)
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges\n{p}"
+    assert "BroadcastHashJoin" in p
+
+
+def test_fetch_partition_count_explicit(spark):
+    """The pre-fetch repartition must carry an explicit partition count so
+    AQE cannot coalesce the codec-heavy UDF stage to one task."""
+    from pyspark.sql import Row
+
+    from newsraag_crawler_spark.operators.wave import run_scale_wave
+    from newsraag_crawler_spark.sources.synthetic import synth_frontier_df
+
+    f = synth_frontier_df(spark, 2000, n_hosts=10)
+    pol = spark.createDataFrame(
+        [Row(host="host0.example.com", crawl_delay_s=1.0, per_wave_budget=500,
+             robots_disallow=["/private"])]
+    )
+    out = run_scale_wave(f, pol, None, wave=0)
+    n_parts = out["corpus"].rdd.getNumPartitions()
+    expected = spark.sparkContext.defaultParallelism * 4
+    assert n_parts == expected, (n_parts, expected)
