@@ -92,6 +92,40 @@ def split_wave(budgeted: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
 
+RETRY_TIMEOUTS_S = (30, 60, 120)  # reference crawl4ai_extractor.py:108
+
+
+def retry_schedule(
+    attempted: DataFrame,
+    success_col: str = "success",
+    attempt_col: str = "attempt",
+    max_attempts: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Progressive-timeout retry as wave re-entry (SURVEY.md §2.7 R3/R4).
+
+    The reference retries in-process with sleeps [30,60,120]s; here a failed
+    row becomes a frontier row for the NEXT wave carrying attempt+1 and its
+    progressive timeout budget — deterministic, checkpointable, and idle-
+    free (no executor ever sleeps).
+
+    Returns (succeeded, retry, dead): dead = exhausted max_attempts.
+    """
+    failed = attempted.filter(~F.col(success_col))
+    succeeded = attempted.filter(F.col(success_col))
+    timeout_expr = F.element_at(
+        F.array(*[F.lit(t) for t in RETRY_TIMEOUTS_S]),
+        F.least(F.col(attempt_col) + 2, F.lit(len(RETRY_TIMEOUTS_S))).cast("int"),
+    )
+    retry = (
+        failed.filter(F.col(attempt_col) + 1 < max_attempts)
+        .withColumn("timeout_s", timeout_expr)  # indexed by NEXT attempt
+        .withColumn(attempt_col, F.col(attempt_col) + 1)
+        .withColumn("backoff_s", F.pow(F.lit(2.0), F.col(attempt_col)))
+    )
+    dead = failed.filter(F.col(attempt_col) + 1 >= max_attempts)
+    return succeeded, retry, dead
+
+
 def skew_census(
     scheduled: DataFrame, host_col: str = "host", threshold: int = 10_000
 ) -> DataFrame:

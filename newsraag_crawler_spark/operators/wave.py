@@ -47,24 +47,27 @@ def fetch_images(scheduled: DataFrame, seed: int = 42, wave: int = 0) -> DataFra
         from ..sources.synthetic import fetch_payload_py
 
         for pdf in batches:
-            rows = []
-            for url, sname, sid, seq in zip(
-                pdf["url"], pdf["source_name"], pdf["source_id"], pdf["seq"]
-            ):
+            n = len(pdf)
+            cols: dict = {
+                "image_id": [None] * n, "bytes": [None] * n, "w": [0] * n,
+                "h": [0] * n, "fmt": [None] * n, "caption": [None] * n,
+                "phash": [0] * n,
+            }
+            for i, (url, sname) in enumerate(zip(pdf["url"], pdf["source_name"])):
                 p = fetch_payload_py(url, sname, seed)
-                rows.append(
-                    (
-                        p["image_id"], p["bytes"], p["w"], p["h"], p["fmt"],
-                        p["caption"], p["phash"], url, int(sid), int(seq), wave,
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-                    "url", "source_id", "seq", "wave",
-                ],
-            )
+                cols["image_id"][i] = p["image_id"]
+                cols["bytes"][i] = p["bytes"]
+                cols["w"][i] = p["w"]
+                cols["h"][i] = p["h"]
+                cols["fmt"][i] = p["fmt"]
+                cols["caption"][i] = p["caption"]
+                cols["phash"][i] = p["phash"]
+            out = pd.DataFrame(cols)
+            out["url"] = pdf["url"].values
+            out["source_id"] = pdf["source_id"].astype("int32").values
+            out["seq"] = pdf["seq"].astype("int64").values
+            out["wave"] = wave
+            yield out
 
     cols = ["url", "source_name", "source_id", "seq"]
     return scheduled.select(*cols).mapInPandas(_fetch, CORPUS_FETCH_SCHEMA)

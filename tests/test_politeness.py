@@ -94,3 +94,31 @@ def test_skew_census_and_salting(spark):
     assert len(a_keys) > 1 and all("#" in k for k in a_keys)
     b_keys = {r.fetch_key for r in salted.filter(F.col("host") == "b.com").collect()}
     assert b_keys == {"b.com"}  # cold host untouched
+
+
+def test_retry_schedule_waves(spark):
+    """R3/R4: failures re-enter with attempt+1, progressive timeouts, and
+    die after max_attempts; successes leave the loop."""
+    from newsraag_crawler_spark.operators.politeness import retry_schedule
+
+    rows = [
+        Row(url=f"https://a.com/{i}", attempt=0, success=(i % 3 == 0)) for i in range(9)
+    ]
+    df = spark.createDataFrame(rows)
+    ok, retry, dead = retry_schedule(df)
+    assert ok.count() == 3
+    assert dead.count() == 0
+    r1 = retry.collect()
+    assert all(r.attempt == 1 and r.timeout_s == 60 and r.backoff_s == 2.0 for r in r1)
+
+    # second failure round
+    df2 = retry.withColumn("success", F.lit(False)).select("url", "attempt", "success")
+    ok2, retry2, dead2 = retry_schedule(df2)
+    assert ok2.count() == 0 and dead2.count() == 0
+    assert all(r.attempt == 2 and r.timeout_s == 120 for r in retry2.collect())
+
+    # third: exhausted
+    df3 = retry2.withColumn("success", F.lit(False)).select("url", "attempt", "success")
+    ok3, retry3, dead3 = retry_schedule(df3)
+    assert retry3.count() == 0
+    assert dead3.count() == 6
