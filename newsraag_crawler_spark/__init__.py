@@ -6,7 +6,7 @@ A from-scratch re-expression of the capabilities of the reference crawler
 - ``functions/``  — URL canonicalization (RFC 3986 + SURT), hashing, text
   analysis, and deterministic image codecs, all as Spark column expressions
   or Arrow-vectorized pandas UDFs (never per-row Python).
-- ``operators/``  — frontier scheduling, dedup (exact / Bloom / MinHash-LSH /
+- ``operators/``  — frontier scheduling, dedup (exact / Bloom / cuckoo / MinHash-LSH /
   SimHash), politeness budgeting, similarity search, metrics rollups.
 - ``sources/``    — deterministic synthetic fixture generators (seeded) and
   loaders for the driver-provided parquet tables.

@@ -222,6 +222,144 @@ def seen_filter_two_phase(
 
 
 # ---------------------------------------------------------------------------
+# cuckoo-filter shards (the north_rule's alternative to Bloom; supports
+# DELETION, so the seen-set can honor retention expiry without a rebuild)
+# ---------------------------------------------------------------------------
+
+_CUCKOO_SCHEMA = StructType(
+    [
+        StructField("shard_id", IntegerType()),
+        StructField("n_buckets", LongType()),
+        StructField("n_keys", LongType()),
+        StructField("table", BinaryType()),
+    ]
+)
+
+_CUCKOO_SLOTS = 4  # slots per bucket (standard (2,4)-cuckoo filter)
+
+
+def _cuckoo_cols(key_col, n_buckets: int, n_shards: int):
+    """JVM-side fingerprint + two candidate buckets (partial-key cuckoo:
+    b2 = b1 XOR hash(fp), so either bucket is derivable from the other)."""
+    fp = (F.pmod(F.xxhash64(key_col, F.lit(7)), F.lit(65535)) + 1).cast("int")  # 1..65535, 0=empty
+    b1 = F.pmod(F.xxhash64(key_col, F.lit(8)), F.lit(n_buckets)).cast("long")
+    b2 = F.pmod(
+        b1.bitwiseXOR(F.pmod(F.xxhash64(fp.cast("string")), F.lit(n_buckets))),
+        F.lit(n_buckets),
+    ).cast("long")
+    shard = F.pmod(F.hash(key_col), F.lit(n_shards)).cast("int")
+    return fp, b1, b2, shard
+
+
+def build_cuckoo_shards(
+    keys: DataFrame,
+    key: str = "key",
+    n_shards: int = 64,
+    n_buckets: int = 1 << 14,
+) -> DataFrame:
+    """Per-shard (2,4)-cuckoo filter tables (uint16 fingerprints).
+
+    NOTE: the eviction chain needs a Python-side partner-bucket hash which
+    cannot match the JVM b2 exactly, so PROBES check both candidate buckets
+    computed JVM-side AND the build inserts only into those two buckets
+    (no eviction re-homing across the b1/b2 pair boundary would break
+    lookups). We therefore insert into b1/b2 only and spill to an exact
+    overflow list when both are full — membership stays EXACT-no-false-
+    negative, the overflow is bounded by load factor.
+    """
+    prepped = keys.select(
+        *(
+            c.alias(n)
+            for c, n in zip(
+                _cuckoo_cols(F.col(key), n_buckets, n_shards),
+                ("fp", "b1", "b2", "shard_id"),
+            )
+        )
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        table = np.zeros((n_buckets, _CUCKOO_SLOTS), dtype=np.uint16)
+        overflow = []
+        for fp, b1, b2 in zip(pdf["fp"], pdf["b1"], pdf["b2"]):
+            placed = False
+            for b in (int(b1), int(b2)):
+                row = table[b]
+                empty = np.where(row == 0)[0]
+                if len(empty):
+                    row[empty[0]] = fp
+                    placed = True
+                    break
+            if not placed:
+                overflow.append((int(fp), int(b1)))
+        blob = table.tobytes() + np.array(overflow, dtype=np.int64).tobytes()
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "n_buckets": [n_buckets],
+                "n_keys": [len(pdf)],
+                "table": [blob],
+            }
+        )
+
+    return prepped.groupBy("shard_id").applyInPandas(_build, _CUCKOO_SCHEMA)
+
+
+def probe_cuckoo(
+    df: DataFrame,
+    shards: DataFrame,
+    key: str = "key",
+    n_shards: int = 64,
+    n_buckets: int = 1 << 14,
+) -> DataFrame:
+    """Add ``maybe_seen``: fingerprint present in either candidate bucket
+    (or the exact overflow list). Same cogroup shape as probe_bloom."""
+    fp, b1, b2, shard = _cuckoo_cols(F.col(key), n_buckets, n_shards)
+    probed = (
+        df.withColumn("_fp", fp)
+        .withColumn("_b1", b1)
+        .withColumn("_b2", b2)
+        .withColumn("_shard_id", shard)
+    )
+    out_schema = StructType(
+        list(probed.schema.fields) + [StructField("maybe_seen", BooleanType())]
+    )
+    table_bytes = n_buckets * _CUCKOO_SLOTS * 2
+
+    def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=list(left.columns) + ["maybe_seen"])
+        left = left.copy()
+        if right.empty:
+            left["maybe_seen"] = False
+            return left
+        blob = right["table"].iloc[0]
+        table = np.frombuffer(blob[:table_bytes], dtype=np.uint16).reshape(
+            n_buckets, _CUCKOO_SLOTS
+        )
+        ovf = np.frombuffer(blob[table_bytes:], dtype=np.int64).reshape(-1, 2)
+        ovf_set = {(int(f), int(b)) for f, b in ovf}
+        fps = left["_fp"].to_numpy()
+        b1s = left["_b1"].to_numpy()
+        b2s = left["_b2"].to_numpy()
+        hit = (table[b1s] == fps[:, None]).any(axis=1) | (
+            table[b2s] == fps[:, None]
+        ).any(axis=1)
+        if ovf_set:
+            for i in np.where(~hit)[0]:
+                if (int(fps[i]), int(b1s[i])) in ovf_set:
+                    hit[i] = True
+        left["maybe_seen"] = hit
+        return left
+
+    result = (
+        probed.groupBy("_shard_id")
+        .cogroup(shards.groupBy(F.col("shard_id").alias("_shard_id")))
+        .applyInPandas(_probe, out_schema)
+    )
+    return result.drop("_fp", "_b1", "_b2", "_shard_id")
+
+
+# ---------------------------------------------------------------------------
 # near-dup: MinHash-LSH / SimHash / n-gram Jaccard / phash buckets
 # ---------------------------------------------------------------------------
 

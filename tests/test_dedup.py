@@ -89,3 +89,35 @@ def test_simhash_similar_docs_close(spark):
     far = bin(out[1] ^ out[3]).count("1")
     assert near < far
     assert near <= 16
+
+
+def test_cuckoo_no_false_negatives(spark):
+    seen = _keys(spark, 800, "ck")
+    shards = dedup.build_cuckoo_shards(seen, n_shards=NS, n_buckets=1 << 10)
+    probed = dedup.probe_cuckoo(seen, shards, n_shards=NS, n_buckets=1 << 10)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_fpr_reasonable(spark):
+    seen = _keys(spark, 500, "ckseen")
+    other = _keys(spark, 2000, "ckother")
+    shards = dedup.build_cuckoo_shards(seen, n_shards=NS, n_buckets=1 << 10)
+    probed = dedup.probe_cuckoo(other, shards, n_shards=NS, n_buckets=1 << 10)
+    fp = probed.filter(F.col("maybe_seen")).count()
+    assert fp / 2000 < 0.02, fp  # 16-bit fingerprints -> tiny FPR
+
+
+def test_cuckoo_two_phase_matches_bloom_two_phase(spark):
+    """Cuckoo pre-filter + exact confirm must equal the plain anti-join,
+    same contract as the Bloom path."""
+    seen = _keys(spark, 400, "ckseen")
+    mixed = _keys(spark, 300, "ckseen").union(_keys(spark, 300, "cknew"))
+    shards = dedup.build_cuckoo_shards(seen, n_shards=NS, n_buckets=1 << 10)
+    probed = dedup.probe_cuckoo(mixed, shards, n_shards=NS, n_buckets=1 << 10)
+    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    confirm = probed.filter(F.col("maybe_seen")).drop("maybe_seen").join(
+        seen, "key", "left_anti"
+    )
+    two = fresh.unionByName(confirm)
+    exact = mixed.join(seen, "key", "left_anti")
+    assert two.exceptAll(exact).isEmpty() and exact.exceptAll(two).isEmpty()
