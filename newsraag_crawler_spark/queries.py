@@ -869,7 +869,7 @@ def q_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the snapshot-store delete_where path is pytest-gated; this is the
     partition-pruned filter shape)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    cutoff = "2024-06-01"
+    cutoff = "2024-01-15"
     return (
         ev.filter(F.col("ts") >= cutoff)
         .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
@@ -879,7 +879,7 @@ def q_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_RETENTION = """
 SELECT date_trunc('day', ts) AS day, count(*) AS kept
-FROM events WHERE ts >= TIMESTAMP '2024-06-01'
+FROM events WHERE ts >= TIMESTAMP '2024-01-15'
 GROUP BY 1
 """
 
