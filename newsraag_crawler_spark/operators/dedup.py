@@ -526,19 +526,36 @@ def phash_bucket_pairs(
     id_col: str,
     phash_col: str = "phash",
     max_hamming: int = 8,
-    bands: int = 4,
+    bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup image pairs: band the 64-bit phash into ``bands`` chunks
-    (pigeonhole: hamming ≤ max ⇒ ≥1 identical chunk when bands > max/ (64/bands));
-    join on (band, chunk), verify exact Hamming ≤ max_hamming.
+    """Near-dup image pairs: band the 64-bit phash into ``bands`` disjoint
+    chunks that PARTITION all 64 bits; join on (band, chunk), verify exact
+    Hamming ≤ max_hamming.
+
+    Pigeonhole guarantee: a pair at Hamming ≤ max_hamming differs in at most
+    max_hamming bands, so with ``bands > max_hamming`` at least one band is
+    bit-identical and the pair becomes a join candidate — the banded join has
+    FULL recall. ``bands`` defaults to ``max_hamming + 1`` (the minimum that
+    guarantees recall) and is asserted, because fewer bands silently drops
+    true pairs whose flipped bits spread one-per-band.
     """
     from ..functions.hashing import hamming64
 
-    width = 64 // bands
-    mask = F.lit((1 << width) - 1).cast("long")
+    if bands is None:
+        bands = max_hamming + 1
+    assert bands > max_hamming, (
+        f"bands={bands} must exceed max_hamming={max_hamming} for full recall"
+    )
+    assert 0 < bands <= 64
+    # widths partition all 64 bits (remainder spread over the first bands)
+    base, rem = divmod(64, bands)
+    widths = [base + (1 if i < rem else 0) for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
     chunks = F.array(
         *[
-            F.shiftrightunsigned(F.col(phash_col), i * width).bitwiseAND(mask)
+            F.shiftrightunsigned(F.col(phash_col), offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1).cast("long")
+            )
             for i in range(bands)
         ]
     )

@@ -18,6 +18,11 @@ def cycle_stats(attempted: DataFrame) -> DataFrame:
     attempted must carry (source_id, ok). The rollup's NULL source_id row is
     the reference's "overall" summary line.
     """
+    # success_rate = half-up(processed/discovered*100, 1dp) computed in EXACT
+    # integer arithmetic: floor((p*2000 + d) / (2d)) tenths-of-percent, then
+    # one double division by 10. Float division + round() is order- and
+    # engine-dependent (Spark half-up vs DuckDB half-even on double ties);
+    # integer div is bit-identical everywhere.
     return (
         attempted.rollup("source_id")
         .agg(
@@ -27,7 +32,10 @@ def cycle_stats(attempted: DataFrame) -> DataFrame:
         )
         .withColumn(
             "success_rate",
-            F.round(F.col("processed") / F.greatest(F.col("discovered"), F.lit(1)) * 100, 1),
+            F.expr(
+                "cast((processed * 2000 + greatest(discovered, 1)) div "
+                "(2 * greatest(discovered, 1)) as double) / 10.0"
+            ),
         )
     )
 
@@ -58,6 +66,10 @@ def host_health(fetch_log: DataFrame, failure_threshold: int = 3) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         ),
     )
+    # avg response: sum in DECIMAL (exact, order-independent — double sums
+    # drift under parallelism), then half-up at 4dp via integer division in
+    # 0.1ms units. elapsed_s is expected to carry <= 3 decimals (ms
+    # precision); the decimal cast recovers the exact value.
     return (
         ranked.groupBy("host")
         .agg(
@@ -68,8 +80,16 @@ def host_health(fetch_log: DataFrame, failure_threshold: int = 3) -> DataFrame:
                     1,
                 ).otherwise(0)
             ).alias("consecutive_failures"),
-            F.avg(F.col("elapsed_s")).alias("avg_response_s"),
+            F.sum(F.col("elapsed_s").cast("decimal(18,3)")).alias("_sum_s"),
         )
+        .withColumn(
+            "avg_response_s",
+            F.expr(
+                "cast((cast(_sum_s * 1000 as bigint) * 20 + n) div (2 * n) as double)"
+                " / 10000.0"
+            ),
+        )
+        .drop("_sum_s")
         .withColumn("healthy", F.col("consecutive_failures") < failure_threshold)
     )
 

@@ -93,8 +93,12 @@ def run_equivalence_cycle(
     )
     corpus = fetch_images(sched.fetched, seed=seed, wave=wave)
     if corpus_table is not None:
-        n = corpus.count()
-        corpus_table.append(corpus, lineage={"wave": wave, "rows": n, "op": "fetch"})
+        # write-then-count: count_rows reads the committed parquet footers, so
+        # the expensive fetch UDF executes exactly once (a .count() on the
+        # unpersisted mapInPandas output would run the whole fetch twice)
+        corpus_table.append(
+            corpus, lineage={"wave": wave, "op": "fetch"}, count_rows=True
+        )
         seen_table.append(
             sched.attempted.select("key"),
             lineage={"wave": wave, "op": "mark_seen"},
@@ -130,6 +134,16 @@ def run_crawl(
     if frontier_t.exists():
         lin = frontier_t.current_lineage() or {}
         wave = int(lin.get("next_wave", 0))
+        # idempotent resume: the frontier commit is the wave's commit point.
+        # A crash AFTER corpus/seen appends but BEFORE the frontier overwrite
+        # leaves orphaned corpus/seen/metrics snapshots for wave >= next_wave;
+        # re-running the wave would then append duplicate corpus rows. Roll
+        # those tables back to their last snapshot from a completed wave.
+        for t in (corpus_t, seen_t, metrics_t):
+            if t.exists():
+                cur = t.current_lineage() or {}
+                if int(cur.get("wave", -1)) >= wave:
+                    t.rollback_where(lambda l, w=wave: int(l.get("wave", -1)) < w)
         frontier = frontier_t.read()
     else:
         wave = 0
@@ -143,8 +157,10 @@ def run_crawl(
             frontier, policies, seen, wave=wave, seed=seed,
             links_per_page=links_per_page, n_articles=n_articles,
         )
-        n_fetched = out["corpus"].count()
-        corpus_t.append(out["corpus"], lineage={"wave": wave, "rows": n_fetched})
+        # write-then-count: the committed parquet footers give the row count,
+        # so the fetch UDF (the costliest stage) executes exactly once
+        corpus_t.append(out["corpus"], lineage={"wave": wave}, count_rows=True)
+        n_fetched = int((corpus_t.current_lineage() or {}).get("rows", 0))
         seen_t.append(out["seen_additions"], lineage={"wave": wave})
         next_frontier = out["spill"].select(
             "url", "source_id", "feed_rank", "score",

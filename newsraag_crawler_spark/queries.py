@@ -484,9 +484,17 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
 """
 
 
+# adversarial 4-bit perturbation: one flipped bit per 16-bit quarter
+# (bits 0/16/32/48) — exactly the spread a 4-band scheme would miss; the
+# 5-band (max_hamming+1) pigeonhole must still find it.
+_PHASH_ADV_MASK = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+
+
 def q_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by 64-bit Hamming ≤ 4 via banded pigeonhole join;
-    phash synthesized (portable) with 2-bit-perturbed clones."""
+    """Near-dup pairs by 64-bit Hamming ≤ 4 via banded pigeonhole join
+    (bands = max_hamming + 1 = 5 for guaranteed recall); phash synthesized
+    (portable) with 2-bit-perturbed clones PLUS adversarial clones whose 4
+    flipped bits spread one-per-16-bit-quarter. Oracle is exact all-pairs."""
     from .operators.dedup import phash_bucket_pairs
 
     d = _docs(spark, sf_dir).select(
@@ -496,8 +504,12 @@ def q_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
         F.col("ph").bitwiseXOR(F.lit(5)).alias("ph"),  # flips 2 bits, 1 band
     )
-    allrows = d.unionByName(clones)
-    return phash_bucket_pairs(allrows, "doc_id", "ph", max_hamming=4, bands=4)
+    adv = d.filter(F.pmod("doc_id", F.lit(20)) == 10).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.col("ph").bitwiseXOR(F.lit(_PHASH_ADV_MASK)).alias("ph"),
+    )
+    allrows = d.unionByName(clones).unionByName(adv)
+    return phash_bucket_pairs(allrows, "doc_id", "ph", max_hamming=4, bands=5)
 
 
 def _sql_phash_hamming() -> str:
@@ -506,7 +518,8 @@ def _sql_phash_hamming() -> str:
 WITH base AS (SELECT doc_id, {ph} AS ph FROM documents),
 corpus AS (
   SELECT doc_id, ph FROM base
-  UNION ALL SELECT doc_id + 1000000, xor(ph, 5) FROM base WHERE doc_id % 20 = 0)
+  UNION ALL SELECT doc_id + 1000000, xor(ph, 5) FROM base WHERE doc_id % 20 = 0
+  UNION ALL SELECT doc_id + 2000000, xor(ph, {_PHASH_ADV_MASK}) FROM base WHERE doc_id % 20 = 10)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.ph, b.ph)) AS hamming
 FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
@@ -528,7 +541,8 @@ def q_cycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CYCLE_STATS = """
 SELECT source_id, count(*) AS discovered,
        sum(ok) AS processed, sum(1 - ok) AS failed,
-       round(sum(ok) / greatest(count(*), 1) * 100, 1) AS success_rate
+       ((sum(ok) * 2000 + greatest(count(*), 1)) // (2 * greatest(count(*), 1))) / 10.0
+         AS success_rate
 FROM (SELECT source AS source_id, CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS ok
       FROM documents)
 GROUP BY ROLLUP (source_id)
@@ -566,7 +580,10 @@ def q_content_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     size = 500
     n_chunks = F.ceil(F.length("text") / size).cast("int")
-    d = d.withColumn("n_chunks", n_chunks)
+    # guard: empty/NULL text has n_chunks=0 and Spark's sequence(0, -1)
+    # auto-steps DOWN to [0, -1] (two bogus rows) where the DuckDB
+    # range(0, 0) oracle emits none — drop such docs before exploding
+    d = d.filter(F.length("text") > 0).withColumn("n_chunks", n_chunks)
     return d.select(
         "doc_id",
         "n_chunks",
@@ -672,13 +689,12 @@ def q_host_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value").cast("decimal(18,6)"), 3).cast("double").alias("elapsed_s"),
     )
     out = host_health(log, failure_threshold=3)
-    return out.select(
-        "host", "n", "consecutive_failures",
-        F.round(F.col("avg_response_s").cast("decimal(18,9)"), 4).cast("double").alias("avg_response_s"),
-        "healthy",
-    )
+    return out.select("host", "n", "consecutive_failures", "avg_response_s", "healthy")
 
 
+# avg_response_s mirrors host_health's exact-integer path: DECIMAL sum
+# (order-independent), then half-up at 4dp via integer division — bit-identical
+# across engines, unlike avg(double)+round.
 _SQL_HOST_HEALTH = """
 WITH log AS (
   SELECT event_type AS host,
@@ -690,7 +706,8 @@ lastok AS (
   SELECT host, max(CASE WHEN success THEN fetched_rank END) AS last_ok FROM log GROUP BY host)
 SELECT log.host, count(*) AS n,
        sum(CASE WHEN fetched_rank > COALESCE(last_ok, -1) THEN 1 ELSE 0 END) AS consecutive_failures,
-       round(CAST(avg(elapsed_s) AS DECIMAL(18,9)), 4)::DOUBLE AS avg_response_s,
+       ((CAST(sum(CAST(elapsed_s AS DECIMAL(18,3))) * 1000 AS BIGINT) * 20 + count(*))
+         // (2 * count(*))) / 10000.0 AS avg_response_s,
        sum(CASE WHEN fetched_rank > COALESCE(last_ok, -1) THEN 1 ELSE 0 END) < 3 AS healthy
 FROM log JOIN lastok ON log.host = lastok.host
 GROUP BY log.host

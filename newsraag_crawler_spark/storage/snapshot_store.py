@@ -71,7 +71,11 @@ class SnapshotTable:
         return None
 
     def _write_snapshot(
-        self, df: DataFrame | None, base_dirs: list[str], lineage: dict
+        self,
+        df: DataFrame | None,
+        base_dirs: list[str],
+        lineage: dict,
+        count_rows: bool = False,
     ) -> int:
         m = self._load()
         sid = m["current"] + 1
@@ -79,18 +83,31 @@ class SnapshotTable:
         if df is not None:
             snap_dir = os.path.join(self.path, f"snap-{sid:05d}")
             df.write.mode("overwrite").parquet(snap_dir)
+            if count_rows:
+                # metadata-only count from parquet footers of the files just
+                # written — records rows in lineage WITHOUT re-executing the
+                # (possibly expensive) plan that produced df
+                lineage = {
+                    **lineage,
+                    "rows": int(self.spark.read.parquet(snap_dir).count()),
+                }
             dirs.append(f"snap-{sid:05d}")
         m["snapshots"].append({"id": sid, "dirs": dirs, "lineage": lineage})
         m["current"] = sid
         self._commit(m)
         return sid
 
-    def append(self, df: DataFrame, lineage: dict | None = None) -> int:
-        """Append df as a new snapshot (prior data remains visible)."""
+    def append(
+        self, df: DataFrame, lineage: dict | None = None, count_rows: bool = False
+    ) -> int:
+        """Append df as a new snapshot (prior data remains visible).
+
+        count_rows=True records the written row count in lineage["rows"],
+        counted from the committed files (one plan execution total)."""
         m = self._load()
         cur = next((s for s in m["snapshots"] if s["id"] == m["current"]), None)
         base = cur["dirs"] if cur else []
-        return self._write_snapshot(df, base, lineage or {})
+        return self._write_snapshot(df, base, lineage or {}, count_rows)
 
     def overwrite(self, df: DataFrame, lineage: dict | None = None) -> int:
         """Replace table contents (compaction / rewrite)."""
@@ -99,9 +116,27 @@ class SnapshotTable:
     def delete_where(self, condition, lineage: dict | None = None) -> int:
         """Retention delete (reference K3): rewrite rows NOT matching the
         condition as a fresh snapshot. With real Iceberg this is a metadata
-        delete on partition-pruned files."""
-        kept = self.read().filter(~condition)
+        delete on partition-pruned files. NULL-condition rows are RETAINED
+        (plain ~cond drops them: NULL is neither true nor false in SQL)."""
+        from pyspark.sql import functions as F
+
+        kept = self.read().filter(~F.coalesce(condition, F.lit(False)))
         return self.overwrite(kept, lineage or {"op": "delete_where"})
+
+    def rollback_where(self, pred) -> int:
+        """Reset current to the latest snapshot whose lineage satisfies
+        ``pred`` (or to empty if none does). Used by crash recovery to drop
+        orphaned commits from a wave whose frontier commit never landed."""
+        m = self._load()
+        for s in reversed(m["snapshots"]):
+            if s["id"] <= m["current"] and pred(s["lineage"]):
+                if s["id"] != m["current"]:
+                    m["current"] = s["id"]
+                    self._commit(m)
+                return s["id"]
+        m["current"] = 0
+        self._commit(m)
+        return 0
 
     def read(self, version: int | None = None) -> DataFrame:
         m = self._load()

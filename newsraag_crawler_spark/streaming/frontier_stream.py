@@ -50,13 +50,16 @@ def canonicalize_stream(frontier: DataFrame) -> DataFrame:
 
 
 def dedup_stream(frontier: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Stateful seen-set: first occurrence per SURT key wins; watermark
-    bounds state (reference keeps the set forever — `seen_tracker.py:45-51`
-    — which a 10^10 stream cannot; late re-discoveries past the watermark
-    fall back to the batch anti-join in foreachBatch)."""
-    return frontier.withWatermark("discovered_at", watermark).dropDuplicates(
-        ["surt_url"]
-    )
+    """Stateful seen-set: first occurrence per SURT key wins, with state
+    ACTUALLY bounded by the watermark via dropDuplicatesWithinWatermark
+    (plain dropDuplicates([key]) only evicts state when the event-time column
+    is part of the dedup keys — per-key state would grow forever at 10^10
+    scale). The reference keeps its set forever (`seen_tracker.py:45-51`);
+    here re-discoveries past the watermark pass the streaming stage and are
+    caught by the durable batch anti-join in foreachBatch."""
+    return frontier.withWatermark(
+        "discovered_at", watermark
+    ).dropDuplicatesWithinWatermark(["surt_url"])
 
 
 def windowed_host_metrics(frontier: DataFrame, window: str = "1 minute") -> DataFrame:

@@ -84,3 +84,42 @@ def test_kill_and_resume(spark, tmp_path):
     assert corpus.count() == corpus.select("url").distinct().count()
     waves = {r.wave for r in corpus.select("wave").distinct().collect()}
     assert waves == {0, 1, 2, 3}
+
+
+def test_crash_mid_wave_resume_is_idempotent(spark, tmp_path):
+    """A crash AFTER corpus/seen commits but BEFORE the frontier commit must
+    not duplicate corpus rows on resume: run_crawl rolls orphaned snapshots
+    back to the last completed wave (the frontier commit is the commit
+    point)."""
+    t = _tables(spark, tmp_path, "c")
+    seeds, pol = _seeds(spark), _policies(spark)
+    run_crawl(spark, seeds, pol, t, max_waves=2, links_per_page=2, n_articles=N_ART)
+    assert t["frontier"].current_lineage()["next_wave"] == 2
+
+    # simulate the torn wave-2 commit: corpus+seen+metrics landed, frontier
+    # (the commit point) did not
+    from newsraag_crawler_spark.operators.wave import run_scale_wave
+
+    frontier = t["frontier"].read()
+    out = run_scale_wave(
+        frontier, pol, t["seen"].read(), wave=2, links_per_page=2, n_articles=N_ART
+    )
+    t["corpus"].append(out["corpus"], lineage={"wave": 2}, count_rows=True)
+    t["seen"].append(out["seen_additions"], lineage={"wave": 2})
+    t["metrics"].append(
+        spark.createDataFrame([(2, 1)], "wave int, fetched long"),
+        lineage={"wave": 2},
+    )
+    torn = t["corpus"].read().count()
+
+    t2 = _tables(spark, tmp_path, "c")
+    run_crawl(spark, seeds, pol, t2, max_waves=3, links_per_page=2, n_articles=N_ART)
+    corpus = t2["corpus"].read()
+    # the orphaned wave-2 snapshot was rolled back, wave 2 re-ran exactly once
+    assert corpus.count() <= torn
+    assert corpus.count() == corpus.select("url").distinct().count()
+    assert corpus.filter(F.col("wave") == 2).count() > 0
+    dup_by_wave = (
+        corpus.groupBy("url").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_by_wave == 0

@@ -62,3 +62,23 @@ def test_torn_manifest_invisible(spark, tmp_path):
     with open(os.path.join(path, "manifest.json")) as f:
         m = json.load(f)
     assert m["current"] == 1
+
+
+def test_delete_where_retains_null_condition_rows(spark, tmp_path):
+    """delete_where must keep rows where the condition is NULL (SQL NULL is
+    neither true nor false; plain ~cond would silently drop them)."""
+    from pyspark.sql import Row
+
+    from newsraag_crawler_spark.storage.snapshot_store import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "nullsafe"))
+    t.append(
+        spark.createDataFrame(
+            [Row(k=1, age=10), Row(k=2, age=None), Row(k=3, age=99)]
+        )
+    )
+    from pyspark.sql import functions as F
+
+    t.delete_where(F.col("age") > 50)
+    kept = {r.k for r in t.read().collect()}
+    assert kept == {1, 2}, "NULL-age row must survive a retention delete"
