@@ -491,34 +491,70 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
-def simhash64(token_col) -> object:
-    """64-bit SimHash over a token array column (Arrow-vectorized UDF;
-    token hashing + bit-vote accumulation in numpy)."""
+SIMHASH_BITS = 60  # width of the portable md5-derived hash (hashing.portable_hash64)
 
-    @F.pandas_udf(LongType())
-    def _simhash(tokens: pd.Series) -> pd.Series:
-        import hashlib
 
-        out = np.zeros(len(tokens), dtype=np.int64)
-        for i, toks in enumerate(tokens):
-            if toks is None or len(toks) == 0:
-                continue
-            votes = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for t in toks:
-                hv = np.frombuffer(
-                    hashlib.md5(t.encode("utf-8", "ignore")).digest()[:8],
-                    dtype=np.uint64,
-                )[0]
-                bits = ((hv >> shifts) & np.uint64(1)).astype(np.int64)
-                votes += 2 * bits - 1
-            v = 0
-            for bit in (votes > 0)[::-1]:
-                v = (v << 1) | int(bit)
-            out[i] = v - (1 << 64) if v >= (1 << 63) else v
-        return pd.Series(out)
+def simhash_relational(
+    df: DataFrame, id_col: str, token_col: str = "tokens", portable: bool = True
+) -> DataFrame:
+    """60-bit SimHash computed FULLY relationally — zero Python in the hot
+    path (replaces a per-token hashlib loop, a scale-killer at 100 TB):
 
-    return _simhash(token_col)
+        explode tokens → ONE strong hash per token (JVM-side, materialized
+        once in a projection so Catalyst's per-reference inlining can't
+        recompute it per bit) → per-bit ±1 majority votes as SIMHASH_BITS
+        partial-aggregating sums (map-side combine; one shuffle on id_col) →
+        recompose the fingerprint.
+
+    portable=True hashes with md5 (bit-reproducible in DuckDB/Python for the
+    oracle gate); portable=False uses xxhash64 folded to 60 bits (faster,
+    production path). Returns (id_col, simhash: bigint >= 0).
+    """
+    from ..functions.hashing import portable_hash64
+
+    if portable:
+        h = portable_hash64(F.col("_tok"))
+    else:
+        h = F.pmod(F.xxhash64(F.col("_tok")), F.lit(1 << SIMHASH_BITS))
+    hashed = df.select(
+        F.col(id_col), F.explode_outer(F.col(token_col)).alias("_tok")
+    ).select(F.col(id_col), h.alias("_h"))
+    votes = [
+        F.sum(
+            F.when(F.col("_h").isNull(), F.lit(0)).otherwise(
+                F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            )
+        ).alias(f"_v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy(id_col).agg(*votes)
+    fp = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"_v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_relational_sql(corpus_sql: str, id_col: str, token_expr: str) -> str:
+    """DuckDB mirror of ``simhash_relational(portable=True)``."""
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+toks AS (SELECT {id_col}, unnest({token_expr}) AS tok FROM corpus),
+hashed AS (SELECT {id_col}, {h} AS h FROM toks),
+v AS (SELECT {id_col}, {votes} FROM hashed GROUP BY {id_col})
+SELECT {id_col}, {fp} AS simhash FROM v
+"""
 
 
 def phash_bucket_pairs(

@@ -95,6 +95,79 @@ def srp_bucket(vec_col, n_bits: int = 16, dim: int = 32, seed: int = 42):
     return _bucket(vec_col)
 
 
+def srp_coeffs(dim: int, n_bits: int) -> list[list[int]]:
+    """Deterministic PORTABLE hyperplane coefficients: integer in
+    [-1000, 1000] derived from md5 of "srp:i:j" at PLAN TIME (plain Python).
+    The same literals are embedded in the Spark expression and the DuckDB
+    oracle SQL, so the bucket assignment is engine-independent — no
+    in-engine hashing, no RNG state."""
+    from ..functions.hashing import portable_hash64_py
+
+    return [
+        [(portable_hash64_py(f"srp:{i}:{j}") % 2001) - 1000 for j in range(n_bits)]
+        for i in range(dim)
+    ]
+
+
+def srp_bucket_portable(vec_col, dim: int, n_bits: int):
+    """SRP bucket as a pure column expression over literal coefficients.
+
+    dot_j built as an explicit LEFT-ASSOCIATIVE sum so the IEEE operation
+    order matches the DuckDB mirror term-for-term; the sign is taken on the
+    6dp-rounded dot so a sub-1e-6 cross-engine residue can't flip a bit.
+    """
+    c = srp_coeffs(dim, n_bits)
+    bucket = F.lit(0)
+    for j in range(n_bits):
+        dot = None
+        for i in range(dim):
+            term = F.element_at(vec_col, i + 1) * F.lit(float(c[i][j]))
+            dot = term if dot is None else dot + term
+        bucket = bucket + F.when(F.round(dot, 6) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def srp_bucket_portable_sql(vec_expr: str, dim: int, n_bits: int) -> str:
+    """DuckDB mirror of srp_bucket_portable (same literals, same add order)."""
+    c = srp_coeffs(dim, n_bits)
+    bits = []
+    for j in range(n_bits):
+        dot = " + ".join(f"{vec_expr}[{i + 1}] * {float(c[i][j])}" for i in range(dim))
+        bits.append(f"(CASE WHEN round({dot}, 6) > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")::INT"
+
+
+def srp_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Oracle-checkable approximate top-k: portable SRP buckets, multi-probe
+    (exact bucket + 1-bit flips = Hamming ≤ 1 candidates), exact cosine on
+    candidates. Same plan shape as srp_topk — bucket equi-join, never a
+    cross product against the corpus."""
+    c = corpus.withColumn("bucket", srp_bucket_portable(F.col(vec_col), dim, n_bits))
+    q = queries.withColumn("_qb", srp_bucket_portable(F.col(qvec_col), dim, n_bits))
+    probes = F.array(
+        F.col("_qb"), *[F.col("_qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
+    )
+    q = q.select(qid_col, qvec_col, F.explode(probes).alias("bucket"))
+    cand = c.join(F.broadcast(q), "bucket")
+    scored = cand.select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine_sim(F.col(vec_col), F.col(qvec_col)).alias("cosine"),
+    ).dropDuplicates([qid_col, id_col])
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def srp_topk(
     corpus: DataFrame,
     queries: DataFrame,

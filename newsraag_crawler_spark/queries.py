@@ -954,30 +954,67 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (UDF-computed; rows-only check)."""
-    from .operators.dedup import simhash64
+    """SimHash fingerprints, fully relational (explode → JVM hash → bit-vote
+    aggregation) — portable md5 hashing so DuckDB reproduces every bit."""
+    from .operators.dedup import simhash_relational
 
-    d = _docs(spark, sf_dir)
-    toks = F.split(T.clean_whitespace(F.lower("text")), " ")
-    return d.select("doc_id", simhash64(toks).alias("simhash"))
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(T.clean_whitespace(F.lower("text")), " ").alias("tokens")
+    )
+    return simhash_relational(d, "doc_id", "tokens", portable=True)
+
+
+def _sql_simhash() -> str:
+    from .operators.dedup import simhash_relational_sql
+
+    toks = f"string_split({T.clean_whitespace_sql('lower(text)')}, ' ')"
+    return simhash_relational_sql(
+        "SELECT doc_id, text FROM documents", "doc_id", toks
+    )
+
+
+# driver testdata embeddings are 64-dim at every SF (TESTDATA.md); a plan-time
+# constant — reading .first() on the driver to learn it would execute the scan
+_EMB_DIM = 64
+_SRP_BITS = 8
 
 
 def q_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via signed-random-projection LSH (rows-only)."""
-    from .operators.similarity import srp_topk
-    from .session import ensure_shipped
+    """Approximate ANN via signed-random-projection LSH with PORTABLE
+    plan-time hyperplanes — the DuckDB oracle reproduces bucket assignment,
+    multiprobe candidates and ranking exactly, so the approximate path is
+    hash-gated, not rows-only."""
+    from .operators.similarity import srp_topk_portable
 
-    ensure_shipped(spark)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    dim = len(emb.select("embedding").first()["embedding"])
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return srp_topk(emb, queries, k=10, n_bits=10, dim=dim).select(
-        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
-    )
+    return srp_topk_portable(
+        emb, queries, k=10, n_bits=_SRP_BITS, dim=_EMB_DIM
+    ).select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _sql_srp_ann() -> str:
+    from .operators.similarity import srp_bucket_portable_sql
+
+    b = srp_bucket_portable_sql("v", _EMB_DIM, _SRP_BITS)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {b} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM b WHERE vec_id < 5),
+cand AS (
+  SELECT q.query_id, b.vec_id,
+         list_cosine_similarity(b.v, q.qv) AS cos_raw
+  FROM b JOIN q ON bit_count(xor(b.bucket::BIGINT, q.qbucket::BIGINT)) <= 1),
+ranked AS (
+  SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM cand)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
 
 
 def q_crawl_wave_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,11 +1080,11 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_hamming_pairs": q_phash_hamming,
         "crawl_cycle_stats": q_cycle_stats,
         "bloom_seen_filter": q_bloom_seen_filter,
-        # rows-only (no SQL oracle)
-        "image_stats": q_image_stats,
-        "image_resize": q_image_resize,
         "simhash_fingerprint": q_simhash,
         "srp_ann_topk": q_srp_ann,
+        # rows-only (no SQL oracle: binary image codecs)
+        "image_stats": q_image_stats,
+        "image_resize": q_image_resize,
         "crawl_wave_scale": q_crawl_wave_scale,
     }
 
@@ -1080,4 +1117,6 @@ def oracles() -> dict[str, str]:
         "phash_hamming_pairs": _sql_phash_hamming(),
         "crawl_cycle_stats": _SQL_CYCLE_STATS,
         "bloom_seen_filter": _sql_bloom_seen(),
+        "simhash_fingerprint": _sql_simhash(),
+        "srp_ann_topk": _sql_srp_ann(),
     }

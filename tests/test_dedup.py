@@ -72,11 +72,25 @@ def test_minhash_lsh_finds_exact_clones(spark):
 def test_phash_bucket_pairs_finds_small_hamming(spark):
     base = [(i, (i * 2654435761) % (1 << 60)) for i in range(50)]
     pert = [(1000 + i, ph ^ 0b101) for i, ph in base[:5]]  # hamming 2
-    df = spark.createDataFrame(base + pert, ["doc_id", "phash"])
-    pairs = dedup.phash_bucket_pairs(df, "doc_id", "phash", max_hamming=4, bands=4)
+    # adversarial: 4 flipped bits spread one-per-16-bit-quarter — the spread
+    # a 4-band scheme provably misses; bands=max_hamming+1 must find it
+    adv_mask = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+    adv = [(2000 + i, ph ^ adv_mask) for i, ph in base[5:10]]
+    df = spark.createDataFrame(base + pert + adv, ["doc_id", "phash"])
+    pairs = dedup.phash_bucket_pairs(df, "doc_id", "phash", max_hamming=4)
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
     for i in range(5):
         assert got.get((i, 1000 + i)) == 2
+    for i in range(5, 10):
+        assert got.get((i, 2000 + i)) == 4, "one-bit-per-band pair missed"
+
+
+def test_phash_bucket_pairs_rejects_too_few_bands(spark):
+    df = spark.createDataFrame([(1, 7)], ["doc_id", "phash"])
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        dedup.phash_bucket_pairs(df, "doc_id", "phash", max_hamming=4, bands=4)
 
 
 def test_simhash_similar_docs_close(spark):
@@ -84,7 +98,10 @@ def test_simhash_similar_docs_close(spark):
     b = a.replace("today", "tomorrow")  # one token differs
     c = "completely different text about stock markets and currency pairs"
     df = spark.createDataFrame([(1, a.split()), (2, b.split()), (3, c.split())], ["id", "toks"])
-    out = {r.id: r.sh for r in df.select("id", dedup.simhash64(F.col("toks")).alias("sh")).collect()}
+    out = {
+        r.id: r.simhash
+        for r in dedup.simhash_relational(df, "id", "toks").collect()
+    }
     near = bin(out[1] ^ out[2]).count("1")
     far = bin(out[1] ^ out[3]).count("1")
     assert near < far

@@ -89,3 +89,39 @@ def test_video_audio_stubs_raise():
         sample_video_frames(b"xx")
     with _pytest.raises(NotImplementedError):
         audio_features(b"xx")
+
+
+def test_image_stats_query_matches_python_golden(spark):
+    """Golden-row oracle for the rows-only driver query `image_stats`: every
+    Spark-produced row must equal the pure-Python fetch_payload_py + decode
+    pipeline (VERDICT r1 item 4 — rows-only ops get a non-SQL oracle)."""
+    from newsraag_crawler_spark.queries import q_image_stats
+    from newsraag_crawler_spark.sources.synthetic import fetch_payload_py
+
+    rows = q_image_stats(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 50
+    from newsraag_crawler_spark.functions.images import decode_image
+
+    for r in rows:
+        # pixels/fmt/phash depend only on (seed, url) — source only shapes
+        # the caption, which this query doesn't emit
+        payload = fetch_payload_py(r.url, "x", 42)
+        img = decode_image(payload["bytes"], payload["fmt"])
+        assert (r.w, r.h) == (img.shape[1], img.shape[0])
+        assert r.fmt == payload["fmt"]
+        assert r.phash == payload["phash"]
+        assert abs(r.mean_lum - round(float(img.astype(np.float64).mean()), 3)) < 1e-9
+
+
+def test_image_resize_query_matches_python_golden(spark):
+    from newsraag_crawler_spark.functions.images import decode_image, resize_nn
+    from newsraag_crawler_spark.queries import q_image_resize
+    from newsraag_crawler_spark.sources.synthetic import fetch_payload_py
+
+    rows = q_image_resize(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert (r.w, r.h) == (16, 16)
+        payload = fetch_payload_py(r.url, "x", 42)
+        small = resize_nn(decode_image(payload["bytes"], payload["fmt"]), 16, 16)
+        assert small.shape == (16, 16, 3)
