@@ -601,47 +601,73 @@ FROM documents, unnest(range(0, ceil(length(text) / 500.0)::BIGINT)) AS t(i)
 """
 
 
-def q_fuzzy_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C7: fuzzy date extraction — regex chain over three text shapes with a
-    deterministic fallback (reference rss_template.py:186-264; fallback
-    now-30d becomes a fixed date for determinism)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+def _fuzzy_raw_cols(ev: DataFrame) -> DataFrame:
+    """Synthesize all 5 reference date shapes (+ a no-date row) from events.ts:
+    NBC 'Date: … EDT', 'Updated … EST', simple 'Date:', bare general time,
+    title-embedded M/d/yyyy, and no date at all."""
+    nbc = F.concat(
+        F.date_format("ts", "MMM"), F.lit(". "), F.date_format("ts", "dd"),
+        F.lit(", "), F.date_format("ts", "yyyy"), F.lit(", "),
+        F.date_format("ts", "hh:mm a"),
+    )
+    simple = F.concat(
+        F.date_format("ts", "MMM"), F.lit(". "), F.date_format("ts", "dd"),
+        F.lit(", "), F.date_format("ts", "yyyy"),
+    )
     raw = (
-        F.when(
-            F.pmod("event_id", F.lit(3)) == 0,
-            F.concat(F.lit("Date: "), F.date_format("ts", "MMM d, yyyy")),
-        )
+        F.when(F.pmod("event_id", F.lit(6)) == 0, F.concat(F.lit("Date: "), nbc, F.lit(" EDT")))
+        .when(F.pmod("event_id", F.lit(6)) == 1, F.concat(F.lit("Updated "), nbc, F.lit(" EST")))
+        .when(F.pmod("event_id", F.lit(6)) == 2, F.concat(F.lit("Date: "), simple))
         .when(
-            F.pmod("event_id", F.lit(3)) == 1,
-            F.concat(F.date_format("ts", "yyyy-MM-dd"), F.lit(" Updated")),
+            F.pmod("event_id", F.lit(6)) == 3,
+            F.concat(F.lit("Published "), nbc, F.lit(" by staff")),
         )
         .otherwise(F.lit("no date in this content"))
     )
-    ev = ev.select("event_id", raw.alias("raw_text"))
-    p1 = F.regexp_extract("raw_text", "Date: ([A-Za-z]+ [0-9]{1,2}, [0-9]{4})", 1)
-    p2 = F.regexp_extract("raw_text", "([0-9]{4}-[0-9]{2}-[0-9]{2}) Updated", 1)
-    parsed = F.coalesce(
-        F.when(p1 != "", F.to_date(p1, "MMM d, yyyy")),
-        F.when(p2 != "", F.to_date(p2, "yyyy-MM-dd")),
-        F.lit("2026-01-01").cast("date"),
+    title = F.when(
+        F.pmod("event_id", F.lit(6)) == 4,
+        F.concat(F.lit("Markets on "), F.date_format("ts", "MM/dd/yyyy"), F.lit(" rally")),
+    ).otherwise(F.concat(F.lit("T"), F.col("event_id").cast("string")))
+    return ev.select("event_id", raw.alias("raw_text"), title.alias("title"))
+
+
+def q_fuzzy_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: the reference's FULL 5-pattern fuzzy date chain (NBC style,
+    Updated, simple date @09:00, general time, title date) with deterministic
+    fallback (rss_template.py:186-264)."""
+    from .functions.extract import fuzzy_published_ts
+
+    ev = _fuzzy_raw_cols(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ts, pat = fuzzy_published_ts("raw_text", "title")
+    return ev.select(
+        "event_id", "raw_text", "title",
+        pat.alias("matched_pattern"), ts.alias("published_ts"),
     )
-    return ev.select("event_id", "raw_text", parsed.alias("published_date"))
 
 
-_SQL_FUZZY_DATE = """
+def _sql_fuzzy_date() -> str:
+    from .functions.extract import fuzzy_published_ts_sql
+
+    nbc = (
+        "strftime(ts, '%b') || '. ' || strftime(ts, '%d') || ', ' || "
+        "strftime(ts, '%Y') || ', ' || strftime(ts, '%I:%M %p')"
+    )
+    simple = "strftime(ts, '%b') || '. ' || strftime(ts, '%d') || ', ' || strftime(ts, '%Y')"
+    ts_expr, pat_expr = fuzzy_published_ts_sql("raw_text", "title")
+    return f"""
 WITH raw AS (
   SELECT event_id,
-    CASE WHEN event_id % 3 = 0 THEN 'Date: ' || strftime(ts, '%b %-d, %Y')
-         WHEN event_id % 3 = 1 THEN strftime(ts, '%Y-%m-%d') || ' Updated'
-         ELSE 'no date in this content' END AS raw_text
+    CASE WHEN event_id % 6 = 0 THEN 'Date: ' || {nbc} || ' EDT'
+         WHEN event_id % 6 = 1 THEN 'Updated ' || {nbc} || ' EST'
+         WHEN event_id % 6 = 2 THEN 'Date: ' || {simple}
+         WHEN event_id % 6 = 3 THEN 'Published ' || {nbc} || ' by staff'
+         ELSE 'no date in this content' END AS raw_text,
+    CASE WHEN event_id % 6 = 4 THEN 'Markets on ' || strftime(ts, '%m/%d/%Y') || ' rally'
+         ELSE 'T' || event_id::VARCHAR END AS title
   FROM events)
-SELECT event_id, raw_text,
-  COALESCE(
-    CASE WHEN regexp_extract(raw_text, 'Date: ([A-Za-z]+ [0-9]{1,2}, [0-9]{4})', 1) <> ''
-         THEN strptime(regexp_extract(raw_text, 'Date: ([A-Za-z]+ [0-9]{1,2}, [0-9]{4})', 1), '%b %d, %Y')::DATE END,
-    CASE WHEN regexp_extract(raw_text, '([0-9]{4}-[0-9]{2}-[0-9]{2}) Updated', 1) <> ''
-         THEN regexp_extract(raw_text, '([0-9]{4}-[0-9]{2}-[0-9]{2}) Updated', 1)::DATE END,
-    DATE '2026-01-01') AS published_date
+SELECT event_id, raw_text, title,
+       {pat_expr} AS matched_pattern,
+       {ts_expr} AS published_ts
 FROM raw
 """
 
@@ -901,6 +927,254 @@ GROUP BY 1
 """
 
 
+def _synth_html(d: DataFrame) -> DataFrame:
+    """Synthesize article HTML from documents — title with a site-name
+    suffix, script/style/nav/footer clutter, boilerplate paragraphs."""
+    html = F.concat(
+        F.lit("<html><head><title>T"), F.col("doc_id").cast("string"),
+        F.lit(" - Example News</title><style>.x{color:red}</style></head>"),
+        F.lit("<body><script>var a=1;</script><nav>Home | About</nav>"),
+        F.lit("<article><h1>Headline "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.substring("text", 1, 200),
+        F.lit("</p><p>Subscribe to our daily newsletter</p>"),
+        F.lit("<p>Follow us on all social</p></article>"),
+        F.lit("<footer>(c) site</footer></body></html>"),
+    )
+    return d.select("doc_id", html.alias("html"))
+
+
+_SYNTH_HTML_DUCK = (
+    "'<html><head><title>T' || doc_id::VARCHAR || "
+    "' - Example News</title><style>.x{color:red}</style></head>"
+    "<body><script>var a=1;</script><nav>Home | About</nav>"
+    "<article><h1>Headline ' || doc_id::VARCHAR || '</h1><p>' || "
+    "substring(text, 1, 200) || "
+    "'</p><p>Subscribe to our daily newsletter</p>"
+    "<p>Follow us on all social</p></article>"
+    "<footer>(c) site</footer></body></html>'"
+)
+
+
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11+C10+C13: HTML → text (decompose script/style/nav/header/footer,
+    strip tags, drop Subscribe/Follow boilerplate, collapse whitespace) plus
+    the page-title suffix strip — all JVM regexp expressions
+    (html_template.py:208-265, base_template.py:335-345)."""
+    from .functions.extract import html_text, html_title
+
+    d = _synth_html(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        html_title("html").alias("title_clean"),
+        html_text("html").alias("content_clean"),
+        F.length(html_text("html")).alias("content_len"),
+    )
+
+
+def _sql_html_text_extract() -> str:
+    from .functions.extract import html_text_sql, html_title_sql
+
+    txt = html_text_sql("html")
+    return f"""
+WITH h AS (SELECT doc_id, {_SYNTH_HTML_DUCK} AS html FROM documents)
+SELECT doc_id, {html_title_sql('html')} AS title_clean,
+       {txt} AS content_clean, length({txt}) AS content_len
+FROM h
+"""
+
+
+def q_html_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: publication date from HTML — time[datetime] attr →
+    meta[article:published_time] → meta[name=date] → deterministic fallback
+    (html_template.py:281-329)."""
+    from .functions.extract import html_published_ts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    html = (
+        F.when(
+            F.pmod("event_id", F.lit(4)) == 0,
+            F.concat(F.lit('<article><time datetime="'), iso, F.lit('">x</time></article>')),
+        )
+        .when(
+            F.pmod("event_id", F.lit(4)) == 1,
+            F.concat(
+                F.lit('<head><meta property="article:published_time" content="'),
+                iso, F.lit('"/></head>'),
+            ),
+        )
+        .when(
+            F.pmod("event_id", F.lit(4)) == 2,
+            F.concat(F.lit('<head><meta name="date" content="'), iso, F.lit('"/></head>')),
+        )
+        .otherwise(F.lit("<p>no date</p>"))
+    )
+    d = ev.select("event_id", html.alias("html"))
+    ts, rule = html_published_ts("html")
+    return d.select("event_id", rule.alias("date_rule"), ts.alias("published_ts"))
+
+
+def _sql_html_date_extract() -> str:
+    from .functions.extract import html_published_ts_sql
+
+    iso = "strftime(ts, '%Y-%m-%dT%H:%M:%S')"
+    ts, rule = html_published_ts_sql("html")
+    return f"""
+WITH h AS (
+  SELECT event_id,
+    CASE WHEN event_id % 4 = 0 THEN '<article><time datetime="' || {iso} || '">x</time></article>'
+         WHEN event_id % 4 = 1 THEN '<head><meta property="article:published_time" content="' || {iso} || '"/></head>'
+         WHEN event_id % 4 = 2 THEN '<head><meta name="date" content="' || {iso} || '"/></head>'
+         ELSE '<p>no date</p>' END AS html
+  FROM events)
+SELECT event_id, {rule} AS date_rule, {ts} AS published_ts FROM h
+"""
+
+
+def _synth_feed_xml(d: DataFrame) -> DataFrame:
+    """Four feed classes: valid RSS, repairable RSS (void tags + stale xml
+    decl), HTML page with links, and garbage — the robust-parser fixture."""
+    i = F.col("doc_id").cast("string")
+    valid = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?><rss><channel><item><title>T'),
+        i, F.lit("</title><link>https://h.example.com/a/"), i,
+        F.lit("</link></item></channel></rss>"),
+    )
+    broken = F.concat(
+        F.lit('<?xml version="1.0" encoding="utf-8" standalone="yes"?>  '),
+        F.lit("<rss><channel><item><title>B"), i,
+        F.lit("</title><br><link>https://h.example.com/b/"), i,
+        F.lit("</link><hr></item></channel></rss>"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://h.example.com/c/'), i,
+        F.lit('">Article '), i, F.lit("</a></body></html>"),
+    )
+    feed = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, valid)
+        .when(F.pmod("doc_id", F.lit(4)) == 1, broken)
+        .when(F.pmod("doc_id", F.lit(4)) == 2, html)
+        .otherwise(F.lit("not xml at all"))
+    )
+    return d.select(F.col("doc_id").alias("feed_id"), feed.alias("raw"))
+
+
+_SYNTH_FEED_DUCK = """
+SELECT doc_id AS feed_id,
+  CASE WHEN doc_id % 4 = 0 THEN '<?xml version="1.0" encoding="UTF-8"?><rss><channel><item><title>T' || doc_id::VARCHAR || '</title><link>https://h.example.com/a/' || doc_id::VARCHAR || '</link></item></channel></rss>'
+       WHEN doc_id % 4 = 1 THEN '<?xml version="1.0" encoding="utf-8" standalone="yes"?>  <rss><channel><item><title>B' || doc_id::VARCHAR || '</title><br><link>https://h.example.com/b/' || doc_id::VARCHAR || '</link><hr></item></channel></rss>'
+       WHEN doc_id % 4 = 2 THEN '<html><body><a href="https://h.example.com/c/' || doc_id::VARCHAR || '">Article ' || doc_id::VARCHAR || '</a></body></html>'
+       ELSE 'not xml at all' END AS raw
+FROM documents
+"""
+
+
+def q_xml_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: XML repair — close void tags, normalize the declaration
+    (robust_rss_parser.py:379-399)."""
+    from .functions.extract import xml_repair
+
+    d = _synth_feed_xml(_docs(spark, sf_dir))
+    rep = xml_repair("raw")
+    return d.select(
+        "feed_id", rep.alias("repaired"), (rep != F.col("raw")).alias("was_modified")
+    )
+
+
+def _sql_xml_repair() -> str:
+    from .functions.extract import xml_repair_sql
+
+    rep = xml_repair_sql("raw")
+    return f"""
+WITH feeds AS ({_SYNTH_FEED_DUCK})
+SELECT feed_id, {rep} AS repaired, {rep} <> raw AS was_modified FROM feeds
+"""
+
+
+# strategy-1 "feedparser" accepts only feeds with no repair-needing constructs
+_RSS_SHAPE = "(?s)<rss.*</rss>"
+_NEEDS_REPAIR = "<br>|<hr>|<img>"
+_ITEM_TITLE = "<title>([^<]*)</title>"
+_ITEM_LINK = "<link>([^<]*)</link>"
+_HTML_HREF = '(?i)<a[^>]*href="([^"]+)"'
+
+
+def q_robust_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: the robust-parser 3-strategy fallback chain with a QUARANTINE
+    column — feedparser-shape parse → XML-repair parse → HTML link fallback
+    → error row (robust_rss_parser.py:35-137). Errors become data, not
+    exceptions: rows that defeat every strategy carry the error string."""
+    from .functions.extract import xml_repair
+
+    d = _synth_feed_xml(_docs(spark, sf_dir))
+    looks_rss = F.col("raw").rlike(_RSS_SHAPE)
+    clean_rss = looks_rss & ~F.col("raw").rlike(_NEEDS_REPAIR)
+    repaired = xml_repair("raw")
+    looks_html = F.col("raw").rlike("(?i)<html")
+
+    s1_title = F.when(clean_rss, F.regexp_extract("raw", _ITEM_TITLE, 1))
+    s2_title = F.when(looks_rss, F.regexp_extract(repaired, _ITEM_TITLE, 1))
+    s3_link = F.when(looks_html, F.regexp_extract("raw", _HTML_HREF, 1))
+
+    strategy = (
+        F.when(s1_title.isNotNull() & (s1_title != ""), F.lit("feedparser"))
+        .when(s2_title.isNotNull() & (s2_title != ""), F.lit("xml_repair"))
+        .when(s3_link.isNotNull() & (s3_link != ""), F.lit("html_fallback"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    title = F.when(strategy == "feedparser", s1_title).when(
+        strategy == "xml_repair", s2_title
+    )
+    link = (
+        F.when(strategy == "feedparser", F.regexp_extract("raw", _ITEM_LINK, 1))
+        .when(strategy == "xml_repair", F.regexp_extract(repaired, _ITEM_LINK, 1))
+        .when(strategy == "html_fallback", s3_link)
+    )
+    error = F.when(
+        strategy.isNull(), F.lit("All parsing strategies failed")
+    ).otherwise(F.lit(None).cast("string"))
+    return d.select(
+        "feed_id", strategy.alias("strategy"), title.alias("first_title"),
+        link.alias("first_link"), error.alias("error"),
+    )
+
+
+def _sql_robust_parse() -> str:
+    from .functions.extract import xml_repair_sql
+
+    rep = xml_repair_sql("raw")
+    return f"""
+WITH feeds AS ({_SYNTH_FEED_DUCK}),
+c AS (
+  SELECT feed_id, raw, {rep} AS repaired,
+         regexp_matches(raw, '{_RSS_SHAPE}') AS looks_rss,
+         regexp_matches(raw, '{_NEEDS_REPAIR}') AS needs_repair,
+         regexp_matches(raw, '(?i)<html') AS looks_html
+  FROM feeds),
+s AS (
+  SELECT feed_id, raw, repaired, looks_html,
+    CASE WHEN looks_rss AND NOT needs_repair THEN regexp_extract(raw, '{_ITEM_TITLE}', 1) END AS s1_title,
+    CASE WHEN looks_rss THEN regexp_extract(repaired, '{_ITEM_TITLE}', 1) END AS s2_title,
+    CASE WHEN looks_html THEN regexp_extract(raw, '{_HTML_HREF}', 1) END AS s3_link
+  FROM c),
+t AS (
+  SELECT *,
+    CASE WHEN s1_title IS NOT NULL AND s1_title <> '' THEN 'feedparser'
+         WHEN s2_title IS NOT NULL AND s2_title <> '' THEN 'xml_repair'
+         WHEN s3_link IS NOT NULL AND s3_link <> '' THEN 'html_fallback'
+         END AS strategy
+  FROM s)
+SELECT feed_id, strategy,
+  CASE WHEN strategy = 'feedparser' THEN s1_title
+       WHEN strategy = 'xml_repair' THEN s2_title END AS first_title,
+  CASE WHEN strategy = 'feedparser' THEN regexp_extract(raw, '{_ITEM_LINK}', 1)
+       WHEN strategy = 'xml_repair' THEN regexp_extract(repaired, '{_ITEM_LINK}', 1)
+       WHEN strategy = 'html_fallback' THEN s3_link END AS first_link,
+  CASE WHEN strategy IS NULL THEN 'All parsing strategies failed' END AS error
+FROM t
+"""
+
+
 # -- rows-only (non-SQL-expressible) ------------------------------------------
 
 
@@ -1071,6 +1345,10 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_classifier": q_url_classifier,
         "smart_truncation": q_smart_truncation,
         "llm_json_extract": q_llm_json_extract,
+        "html_text_extract": q_html_text_extract,
+        "html_date_extract": q_html_date_extract,
+        "xml_repair": q_xml_repair,
+        "robust_parse_quarantine": q_robust_parse,
         "reference_schedule": q_reference_schedule,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -1099,7 +1377,7 @@ def oracles() -> dict[str, str]:
         "per_source_cap": _SQL_PER_SOURCE_CAP,
         "politeness_waves": _SQL_POLITENESS,
         "content_chunking": _SQL_CHUNKING,
-        "fuzzy_date_parse": _SQL_FUZZY_DATE,
+        "fuzzy_date_parse": _sql_fuzzy_date(),
         "tz_blobpath": _SQL_TZ_BLOB,
         "host_health": _SQL_HOST_HEALTH,
         "status_pivot": _SQL_STATUS_PIVOT,
@@ -1108,6 +1386,10 @@ def oracles() -> dict[str, str]:
         "url_classifier": _sql_url_classifier(),
         "smart_truncation": _sql_smart_truncation(),
         "llm_json_extract": _sql_llm_json_extract(),
+        "html_text_extract": _sql_html_text_extract(),
+        "html_date_extract": _sql_html_date_extract(),
+        "xml_repair": _sql_xml_repair(),
+        "robust_parse_quarantine": _sql_robust_parse(),
         "reference_schedule": _sql_reference_schedule(),
         "dedup_exact": _sql_dedup_exact(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
