@@ -463,17 +463,35 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_col: str = "shingles",
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs via explode + equi-join —
     fully relational (scales: the join is on shingle, combiner-friendly).
+
+    max_df caps hot shingles: a shingle shared by k docs yields k² candidate
+    rows out of the equi-join, so boilerplate shingles ("click here to
+    subscribe") make the join quadratic at corpus scale. Shingles with
+    document frequency > max_df are dropped from the shingle UNIVERSE (both
+    intersection and set sizes — standard DF-filtered Jaccard), which bounds
+    the join's per-key fan-out at max_df². Always set it for real corpora;
+    None keeps exact textbook Jaccard for small/parity runs.
 
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
     """
     ex = df.select(
         F.col(id_col).alias("_id"),
-        F.size(F.array_distinct(F.col(shingle_col))).alias("_n"),
         F.explode(F.array_distinct(F.col(shingle_col))).alias("sh"),
     )
+    if max_df is not None:
+        hot = (
+            ex.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("sh")
+        )
+        ex = ex.join(hot, "sh", "left_anti")
+    sizes = ex.groupBy("_id").agg(F.count("*").alias("_n"))
+    ex = ex.join(sizes, "_id")
     a = ex.select(F.col("_id").alias("id_a"), F.col("_n").alias("na"), "sh")
     b = ex.select(F.col("_id").alias("id_b"), F.col("_n").alias("nb"), "sh")
     inter = (

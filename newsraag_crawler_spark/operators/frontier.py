@@ -143,6 +143,22 @@ def reference_schedule(
     return ScheduleResult(attempted=attempted, fetched=fetched, stats=stats)
 
 
+def newest_first(
+    df: DataFrame,
+    date_col: str,
+    group_col: str = "source_id",
+    tiebreak_col: str = "feed_rank",
+) -> DataFrame:
+    """W1 (reference html_template.py:150,444-455): newest-first crawl order
+    per source, with unparseable/NULL dates falling back to datetime.min so
+    they sort LAST — exactly the reference's `articles.sort(key=lambda a:
+    a.published_date or datetime.min, reverse=True)`. Adds ``order_rank``
+    (1 = newest)."""
+    key = F.coalesce(F.col(date_col), F.lit("0001-01-01").cast("date"))
+    w = Window.partitionBy(group_col).orderBy(key.desc(), F.col(tiebreak_col))
+    return df.withColumn("order_rank", F.row_number().over(w))
+
+
 def priority_frontier(
     frontier: DataFrame,
     host_col: str = "host",

@@ -94,6 +94,76 @@ def host_health(fetch_log: DataFrame, failure_threshold: int = 3) -> DataFrame:
     )
 
 
+def token_budget_gate(
+    usage: DataFrame,
+    ts_col: str,
+    tokens_col: str,
+    order_col: str,
+    daily_limit: int,
+    monthly_limit: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """A5/F6 (reference token_tracker.py:85-131): daily AND monthly
+    cumulative token usage with a budget-refusal column.
+
+    The reference resets counters at day/month boundaries and refuses any
+    request that would push either counter past its limit
+    (can_make_request). Both counters ARE tumbling-window running sums:
+    partition by the truncated day/month, order by the request sequence, sum
+    over the preceding frame — one pass, no state machine. ``allowed``
+    mirrors can_make_request for the row's own token count.
+
+    Deliberate deviation: the running sums count ATTEMPTED usage, so a
+    refused request still consumes budget headroom for later rows. The
+    reference's skip-refused counter is sequentially dependent (each
+    decision feeds the next sum) — exact at 1 process, unevaluable as a
+    window at 10^10 rows. Attempted-usage gating is the order-independent
+    conservative over-approximation: it never admits a row the reference
+    would refuse within the same prefix.
+
+    Scale: two window functions over the same (keys, time-bucket)
+    partitioning; Spark evaluates them in one shuffle per distinct window
+    spec — per-day partitions are bounded by daily traffic, never the whole
+    table.
+    """
+    keys = keys or []
+    day = F.date_trunc("day", F.col(ts_col))
+    month = F.date_trunc("month", F.col(ts_col))
+    wd = (
+        Window.partitionBy(*keys, day)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wm = (
+        Window.partitionBy(*keys, month)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        usage.withColumn("day", day)
+        .withColumn("month", month)
+        .withColumn("cum_day_before", F.coalesce(F.sum(tokens_col).over(wd), F.lit(0)))
+        .withColumn(
+            "cum_month_before", F.coalesce(F.sum(tokens_col).over(wm), F.lit(0))
+        )
+    )
+    return out.withColumn(
+        "allowed",
+        (F.col("cum_day_before") + F.col(tokens_col) <= F.lit(daily_limit))
+        & (F.col("cum_month_before") + F.col(tokens_col) <= F.lit(monthly_limit)),
+    )
+
+
+def monthly_rollup(df: DataFrame, ts_col: str, value_col: str, keys: list[str]) -> DataFrame:
+    """Monthly tumbling-window sum — the reference's month-boundary counter
+    reset (token_tracker.py:50-55) as a window aggregation (A5)."""
+    return (
+        df.groupBy(F.date_trunc("month", F.col(ts_col)).alias("month"), *keys)
+        .agg(F.sum(value_col).alias("total"))
+        .select("month", *keys, "total")
+    )
+
+
 def trend_window(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
     """A8 memory-trend frames: avg(last 5) vs avg(prev 5) growth ratio."""
     w = Window.orderBy(order_col)

@@ -404,19 +404,28 @@ SELECT DISTINCT id_a, id_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
 """
 
 
+_JACCARD_MAX_DF = 100  # hot-shingle cap: bounds equi-join fan-out at max_df²
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard ≥ 0.9 pairs via explode + equi-join."""
+    """Exact n-gram Jaccard ≥ 0.9 pairs via explode + equi-join, with the
+    document-frequency cap on (the scale path); the oracle applies the
+    identical cap."""
     from .operators.dedup import ngram_jaccard_pairs
 
     d = _cloned_docs_spark(spark, sf_dir).withColumn("shingles", T.shingles("text", 3))
-    pairs = ngram_jaccard_pairs(d, "doc_id", "shingles", threshold=0.9)
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "shingles", threshold=0.9, max_df=_JACCARD_MAX_DF
+    )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def _sql_dedup_jaccard() -> str:
     return f"""
 WITH corpus AS ({_CLONED_DOCS_DUCK}),
-sh AS (SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS s FROM corpus),
+sh0 AS (SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS s FROM corpus),
+hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > {_JACCARD_MAX_DF}),
+sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
@@ -907,6 +916,109 @@ FROM documents
 """
 
 
+_DAILY_TOKEN_LIMIT = 200_000
+_MONTHLY_TOKEN_LIMIT = 5_000_000
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/F6: daily + monthly cumulative token usage with the budget-refusal
+    column (reference token_tracker.py:85-131 — counters reset at day/month
+    boundaries, can_make_request refuses past-limit requests). Tokens stood
+    in by floor(value*1000), model by event_type."""
+    from .operators.stats import token_budget_gate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "ts",
+        F.col("event_type").alias("model"),
+        F.floor(F.col("value") * 1000).cast("long").alias("tokens"),
+    )
+    out = token_budget_gate(
+        ev, "ts", "tokens", "event_id",
+        daily_limit=_DAILY_TOKEN_LIMIT, monthly_limit=_MONTHLY_TOKEN_LIMIT,
+        keys=["model"],
+    )
+    return out.select(
+        "event_id", "model", "day", "month", "tokens",
+        "cum_day_before", "cum_month_before", "allowed",
+    )
+
+
+_SQL_TOKEN_BUDGET = f"""
+WITH u AS (
+  SELECT event_id, ts, event_type AS model,
+         CAST(floor(value * 1000) AS BIGINT) AS tokens
+  FROM events),
+w AS (
+  SELECT event_id, model, date_trunc('day', ts) AS day,
+         date_trunc('month', ts) AS month, tokens,
+         COALESCE(sum(tokens) OVER (PARTITION BY model, date_trunc('day', ts)
+             ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_day_before,
+         COALESCE(sum(tokens) OVER (PARTITION BY model, date_trunc('month', ts)
+             ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_month_before
+  FROM u)
+SELECT event_id, model, day, month, tokens, cum_day_before, cum_month_before,
+       cum_day_before + tokens <= {_DAILY_TOKEN_LIMIT}
+       AND cum_month_before + tokens <= {_MONTHLY_TOKEN_LIMIT} AS allowed
+FROM w
+"""
+
+
+def q_newest_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: newest-first per-source crawl order with the datetime.min
+    fallback for unparseable dates (html_template.py:150,444-455). A third
+    of the synthesized date strings are garbage and must sort last."""
+    from .operators.frontier import newest_first
+
+    d = _docs(spark, sf_dir)
+    raw = (
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0,
+            F.date_add(F.lit("2024-01-01").cast("date"), F.pmod(F.col("doc_id") * 7, F.lit(365)).cast("int")).cast("string"),
+        )
+        .when(F.pmod("doc_id", F.lit(3)) == 1, F.lit("not a date"))
+        .otherwise(
+            F.date_add(F.lit("2023-06-01").cast("date"), F.pmod(F.col("doc_id") * 3, F.lit(200)).cast("int")).cast("string"),
+        )
+    )
+    d = d.select(
+        "source",
+        F.col("doc_id").alias("feed_rank"),
+        F.when(raw.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), F.to_date(raw)).alias(
+            "published_date"
+        ),
+    )
+    out = newest_first(d, "published_date", group_col="source", tiebreak_col="feed_rank")
+    # string-typed date: NULLs normalize identically across engines
+    return out.select(
+        "source",
+        F.col("feed_rank").alias("doc_id"),
+        F.col("published_date").cast("string").alias("published_date"),
+        "order_rank",
+    )
+
+
+_SQL_NEWEST_FIRST = """
+WITH d AS (
+  SELECT source, doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN (DATE '2024-01-01' + INTERVAL ((doc_id*7) % 365) DAY)::DATE::VARCHAR
+         WHEN doc_id % 3 = 1 THEN 'not a date'
+         ELSE (DATE '2023-06-01' + INTERVAL ((doc_id*3) % 200) DAY)::DATE::VARCHAR END AS raw
+  FROM documents),
+p AS (
+  SELECT source, doc_id,
+         CASE WHEN regexp_matches(raw, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+              THEN raw::DATE END AS published_date
+  FROM d)
+SELECT source, doc_id, published_date::VARCHAR AS published_date,
+       row_number() OVER (PARTITION BY source
+         ORDER BY COALESCE(published_date, DATE '0001-01-01') DESC, doc_id) AS order_rank
+FROM p
+"""
+
+
 def q_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3: retention semantics — rows surviving a cutoff, per day
     (the snapshot-store delete_where path is pytest-gated; this is the
@@ -1342,6 +1454,8 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_pivot": q_status_pivot,
         "trend_window": q_trend_window,
         "retention_delete": q_retention_delete,
+        "token_budget_gate": q_token_budget,
+        "newest_first_order": q_newest_first,
         "url_classifier": q_url_classifier,
         "smart_truncation": q_smart_truncation,
         "llm_json_extract": q_llm_json_extract,
@@ -1383,6 +1497,8 @@ def oracles() -> dict[str, str]:
         "status_pivot": _SQL_STATUS_PIVOT,
         "trend_window": _SQL_TREND,
         "retention_delete": _SQL_RETENTION,
+        "token_budget_gate": _SQL_TOKEN_BUDGET,
+        "newest_first_order": _SQL_NEWEST_FIRST,
         "url_classifier": _sql_url_classifier(),
         "smart_truncation": _sql_smart_truncation(),
         "llm_json_extract": _sql_llm_json_extract(),

@@ -138,3 +138,23 @@ def test_cuckoo_two_phase_matches_bloom_two_phase(spark):
     two = fresh.unionByName(confirm)
     exact = mixed.join(seen, "key", "left_anti")
     assert two.exceptAll(exact).isEmpty() and exact.exceptAll(two).isEmpty()
+
+
+def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """Boilerplate-heavy corpus: every doc shares a 'subscribe' shingle. With
+    no cap the equi-join fans out quadratically over it; with max_df the hot
+    shingle leaves the universe and only genuinely-similar pairs survive."""
+    boiler = "click here to subscribe now"
+    rows = [(i, [f"uniq {i} a", f"uniq {i} b", f"uniq {i} c", boiler]) for i in range(40)]
+    # two true near-dups sharing 3 of 4 distinct shingles
+    rows += [(100, ["x y z", "p q r", "s t u", boiler]),
+             (101, ["x y z", "p q r", "s t u", "different tail here"])]
+    df = spark.createDataFrame(rows, ["doc_id", "shingles"])
+
+    uncapped = dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.1)
+    capped = dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.1, max_df=5)
+    # without the cap every doc pairs with every other through the boilerplate
+    assert uncapped.count() > 800
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert set(got) == {(100, 101)}
+    assert abs(got[(100, 101)] - 3 / 4) < 1e-9  # DF-filtered universe: 3 of 4

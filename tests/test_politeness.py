@@ -122,3 +122,43 @@ def test_retry_schedule_waves(spark):
     ok3, retry3, dead3 = retry_schedule(df3)
     assert retry3.count() == 0
     assert dead3.count() == 6
+
+
+def test_token_budget_gate_refuses_past_limits(spark):
+    """F6/A5: the gate mirrors token_tracker.can_make_request — refusal when
+    the running daily OR monthly counter would exceed its limit."""
+    from newsraag_crawler_spark.operators.stats import token_budget_gate
+
+    rows = [
+        # (event_id, ts, tokens): day 1 usage 60+60+60 under daily=150 until
+        # the third (180 > 150); month cap 300 refuses day-2's second row
+        # (180 spent in-month + 100 + 100 = 380 > 300)
+        (1, "2024-01-01 08:00:00", 60),
+        (2, "2024-01-01 09:00:00", 60),
+        (3, "2024-01-01 10:00:00", 60),
+        (4, "2024-01-02 08:00:00", 100),
+        (5, "2024-01-02 09:00:00", 100),
+    ]
+    df = spark.createDataFrame(rows, "event_id int, ts string, tokens long").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = token_budget_gate(
+        df, "ts", "tokens", "event_id", daily_limit=150, monthly_limit=300
+    )
+    got = {r.event_id: r.allowed for r in out.collect()}
+    assert got == {1: True, 2: True, 3: False, 4: True, 5: False}
+
+
+def test_newest_first_unparseable_sorts_last(spark):
+    from newsraag_crawler_spark.operators.frontier import newest_first
+
+    rows = [
+        (1, "s", "2024-05-01", 1),
+        (2, "s", None, 2),  # unparseable → datetime.min → last
+        (3, "s", "2024-06-01", 3),
+    ]
+    df = spark.createDataFrame(rows, "id int, source_id string, d string, feed_rank int")
+    df = df.withColumn("d", F.col("d").cast("date"))
+    out = newest_first(df, "d", group_col="source_id", tiebreak_col="feed_rank")
+    order = [r.id for r in out.orderBy("order_rank").collect()]
+    assert order == [3, 1, 2]
