@@ -1,0 +1,115 @@
+"""YAML source-config scan (SURVEY.md §2.1 S1).
+
+The reference loads its crawl universe from `config/sources.yaml`
+(`/root/reference/crawler/utils/config_loader.py:16-104`,
+`crawler/factories/config_loader.py:30-104`): a `sources:` list whose
+entries carry name/type/url plus optional rate_limit, max_articles, timeout,
+content_type. Invalid entries are skipped with a printed warning.
+
+Here the config becomes the SOURCES DIMENSION TABLE of the engine, and
+validation failures become a QUARANTINE DataFrame instead of log lines —
+errors are data (same contract as the robust-parse chain). YAML parsing runs
+on the driver (config files are KBs; there is nothing to distribute) and the
+rows enter Spark via createDataFrame, after which everything downstream is
+ordinary DataFrame code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.hashing import portable_hash64_py
+
+SOURCE_TYPES = ("rss", "html", "youtube", "twitter")
+
+SOURCES_SCHEMA = (
+    "source_id int, name string, type string, url string, rate_limit int, "
+    "max_articles int, timeout int, content_type string, enabled boolean"
+)
+QUARANTINE_SCHEMA = "entry string, error string"
+
+# reference defaults (factories/config_loader.py:104-130 optional fields)
+_DEFAULTS = {"rate_limit": 2, "max_articles": 50, "timeout": 60, "content_type": "forex"}
+
+
+@dataclass
+class LoadedConfig:
+    sources: DataFrame  # valid entries, typed dimension table
+    quarantine: DataFrame  # (entry, error) rows for every rejected entry
+
+
+def load_sources_yaml(spark: SparkSession, config_path: str) -> LoadedConfig:
+    """Parse a reference-format sources.yaml into (sources, quarantine).
+
+    Validation mirrors `_convert_yaml_to_config`: name/type/url required,
+    type must be a known source type; numeric fields fall back to reference
+    defaults. Nothing raises — malformed entries land in quarantine with a
+    reason, so one bad entry can't take down the crawl (the reference's
+    try/except-continue, made queryable)."""
+    import yaml
+
+    try:
+        with open(config_path, encoding="utf-8") as f:
+            data = yaml.safe_load(f)
+    except (OSError, yaml.YAMLError) as e:
+        return LoadedConfig(
+            spark.createDataFrame([], SOURCES_SCHEMA),
+            spark.createDataFrame([(config_path, f"unreadable config: {e}")], QUARANTINE_SCHEMA),
+        )
+
+    entries = (data or {}).get("sources")
+    if not isinstance(entries, list):
+        return LoadedConfig(
+            spark.createDataFrame([], SOURCES_SCHEMA),
+            spark.createDataFrame(
+                [(config_path, "invalid or empty configuration: no sources list")],
+                QUARANTINE_SCHEMA,
+            ),
+        )
+
+    rows, bad = [], []
+    for entry in entries:
+        if not isinstance(entry, dict):
+            bad.append((str(entry), "entry is not a mapping"))
+            continue
+        name, stype, url = entry.get("name"), entry.get("type"), entry.get("url")
+        if not all([name, stype, url]):
+            bad.append((str(entry), "missing required field (name/type/url)"))
+            continue
+        if str(stype) not in SOURCE_TYPES:
+            bad.append((str(entry), f"unknown source type: {stype}"))
+            continue
+        try:
+            rows.append(
+                (
+                    portable_hash64_py(str(name)) % 1_000_000,
+                    str(name),
+                    str(stype),
+                    str(url),
+                    int(entry.get("rate_limit", _DEFAULTS["rate_limit"])),
+                    int(entry.get("max_articles", _DEFAULTS["max_articles"])),
+                    int(entry.get("timeout", _DEFAULTS["timeout"])),
+                    str(entry.get("content_type", _DEFAULTS["content_type"])),
+                    bool(entry.get("enabled", True)),
+                )
+            )
+        except (TypeError, ValueError) as e:
+            bad.append((str(entry), f"bad field value: {e}"))
+    return LoadedConfig(
+        spark.createDataFrame(rows, SOURCES_SCHEMA),
+        spark.createDataFrame(bad, QUARANTINE_SCHEMA),
+    )
+
+
+def to_schedule_dim(sources: DataFrame) -> DataFrame:
+    """Project the config table onto the scheduling dimension consumed by
+    operators.frontier.reference_schedule."""
+    from pyspark.sql import functions as F
+
+    return sources.select(
+        "source_id",
+        F.col("max_articles").alias("max_articles_per_run"),
+        "enabled",
+    )
