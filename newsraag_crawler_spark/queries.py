@@ -1287,6 +1287,50 @@ FROM t
 """
 
 
+def q_fetch_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL fetch stage (mapInPandas, Arrow-batched payload kernel)
+    and gates every metadata column — image_id, dims, fmt, caption — against
+    a pure-SQL recomputation of the kernel's portable-md5 derivations. Only
+    bytes/phash (pixel codec outputs) stay outside the SQL oracle; those are
+    golden-tested in tests/test_images.py."""
+    from .operators.wave import fetch_images
+
+    d = (
+        _docs_with_url(spark, sf_dir)
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "url",
+            F.col("source").alias("source_name"),
+            F.lit(0).alias("source_id"),
+            F.col("doc_id").alias("seq"),
+        )
+    )
+    corpus = fetch_images(d, seed=42)
+    return corpus.select("url", "image_id", "w", "h", "fmt", "caption")
+
+
+def _sql_fetch_metadata() -> str:
+    # mirrors sources/synthetic.py fetch_payload_py: h = md5('w42:fetch:'+url)
+    topics = "['EUR/USD', 'Gold', 'S&P 500', 'Crude Oil', 'BTC/USD', 'USD/JPY']"
+    seg = "regexp_extract(url, '([^/]*)$', 1)"
+    return f"""
+WITH d AS (SELECT doc_id, {_URL_DUCK} AS url, source FROM documents WHERE doc_id < 100),
+hh AS (SELECT url, source,
+       CAST(('0x' || substring(md5('w42:fetch:' || url), 1, 15)) AS BIGINT) AS h
+       FROM d),
+c AS (SELECT url, source, h,
+      (32 + h % 97)::INT AS w, (32 + (h >> 8) % 97)::INT AS ht,
+      CASE WHEN (h >> 16) % 10 < 7 THEN 'png' ELSE 'jpeg' END AS fmt,
+      {topics}[(h % 6)::INT + 1] || ' Analysis: ' ||
+        (CASE WHEN {seg} = '' THEN 'index' ELSE {seg} END) ||
+        ' report ' || (h % 9973)::VARCHAR AS caption
+      FROM hh)
+SELECT url, md5(source || ':' || caption || ':' || url) AS image_id,
+       w, ht AS h, fmt, caption
+FROM c
+"""
+
+
 # -- rows-only (non-SQL-expressible) ------------------------------------------
 
 
@@ -1474,6 +1518,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_seen_filter": q_bloom_seen_filter,
         "simhash_fingerprint": q_simhash,
         "srp_ann_topk": q_srp_ann,
+        "fetch_metadata": q_fetch_metadata,
         # rows-only (no SQL oracle: binary image codecs)
         "image_stats": q_image_stats,
         "image_resize": q_image_resize,
@@ -1517,4 +1562,5 @@ def oracles() -> dict[str, str]:
         "bloom_seen_filter": _sql_bloom_seen(),
         "simhash_fingerprint": _sql_simhash(),
         "srp_ann_topk": _sql_srp_ann(),
+        "fetch_metadata": _sql_fetch_metadata(),
     }
