@@ -128,6 +128,8 @@ def reference_schedule(
     w_order = Window.partitionBy("source_id").orderBy("feed_rank")
     fetched = fetched.withColumn("_src_rank", F.row_number().over(w_order))
     counts = fetched.groupBy("source_id").agg(F.count("*").alias("_n"))
+    # unpartitioned window (single-partition WARN in logs) is SAFE here: it
+    # runs over the per-source COUNTS aggregate — rows = #sources, not #urls
     w_off = Window.orderBy("source_id").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
     fetched = fetched.join(F.broadcast(offsets.select("source_id", "_off")), "source_id")

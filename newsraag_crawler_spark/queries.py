@@ -1287,6 +1287,125 @@ FROM t
 """
 
 
+# S10 feed autodiscovery: link[rel=alternate type=rss+xml] wins, then
+# feed-shaped anchors (the reference's HTML fallback link scan,
+# robust_rss_parser.py:192-260, generalized per SURVEY §2.1 S10)
+_FEED_LINK_RE = r'<link[^>]*type="application/rss\+xml"[^>]*href="([^"]+)"'
+_FEED_ANCHOR_RE = r'<a[^>]*href="([^"]*(?:/feed|\.rss|\.xml)[^"]*)"'
+
+
+def q_rss_autodiscovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: discover a site's feed URL from its HTML — alternate-link tag
+    first, feed-shaped anchor second, NULL (quarantine-able) otherwise."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id").cast("string")
+    page = (
+        F.when(
+            F.pmod("doc_id", F.lit(4)) == 0,
+            F.concat(
+                F.lit('<head><link rel="alternate" type="application/rss+xml" href="https://h'),
+                i, F.lit('.example.com/feed.rss"/></head>'),
+            ),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(4)) == 1,
+            F.concat(
+                F.lit('<body><a href="/about">About</a><a href="https://h'),
+                i, F.lit('.example.com/feed">RSS</a></body>'),
+            ),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(4)) == 2,
+            F.concat(
+                F.lit('<body><a href="https://h'), i,
+                F.lit('.example.com/news.xml">feed</a></body>'),
+            ),
+        )
+        .otherwise(F.lit("<body>no feeds here</body>"))
+    )
+    d = d.select("doc_id", page.alias("html"))
+    link = F.regexp_extract("html", "(?i)" + _FEED_LINK_RE, 1)
+    anchor = F.regexp_extract("html", "(?i)" + _FEED_ANCHOR_RE, 1)
+    feed = F.coalesce(
+        F.when(link != "", link), F.when(anchor != "", anchor)
+    )
+    rule = (
+        F.when(link != "", F.lit("alternate_link"))
+        .when(anchor != "", F.lit("anchor"))
+        .otherwise(F.lit("none"))
+    )
+    return d.select("doc_id", feed.alias("feed_url"), rule.alias("discovery_rule"))
+
+
+def _sql_rss_autodiscovery() -> str:
+    link = f"regexp_extract(html, '(?i){_FEED_LINK_RE}', 1)"
+    anchor = f"regexp_extract(html, '(?i){_FEED_ANCHOR_RE}', 1)"
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN '<head><link rel="alternate" type="application/rss+xml" href="https://h' || doc_id::VARCHAR || '.example.com/feed.rss"/></head>'
+         WHEN doc_id % 4 = 1 THEN '<body><a href="/about">About</a><a href="https://h' || doc_id::VARCHAR || '.example.com/feed">RSS</a></body>'
+         WHEN doc_id % 4 = 2 THEN '<body><a href="https://h' || doc_id::VARCHAR || '.example.com/news.xml">feed</a></body>'
+         ELSE '<body>no feeds here</body>' END AS html
+  FROM documents)
+SELECT doc_id,
+  COALESCE(CASE WHEN {link} <> '' THEN {link} END,
+           CASE WHEN {anchor} <> '' THEN {anchor} END) AS feed_url,
+  CASE WHEN {link} <> '' THEN 'alternate_link'
+       WHEN {anchor} <> '' THEN 'anchor'
+       ELSE 'none' END AS discovery_rule
+FROM h
+"""
+
+
+def q_method_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-method request stats — count, exact-decimal mean latency,
+    error rate (reference metrics.py method counters; same integer half-up
+    convention as host_health/cycle_stats)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    method = (
+        F.when(F.pmod("user_id", F.lit(4)) == 0, F.lit("GET"))
+        .when(F.pmod("user_id", F.lit(4)) == 1, F.lit("POST"))
+        .when(F.pmod("user_id", F.lit(4)) == 2, F.lit("HEAD"))
+        .otherwise(F.lit("PUT"))
+    )
+    d = ev.select(
+        method.alias("method"),
+        F.round(F.col("value").cast("decimal(18,6)"), 3).cast("double").alias("elapsed_s"),
+        (F.col("value") < 0.1).cast("int").alias("err"),
+    )
+    agg = d.groupBy("method").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("elapsed_s").cast("decimal(18,3)")).alias("_sum_s"),
+        F.sum("err").alias("_errs"),
+    )
+    return agg.select(
+        "method",
+        "n",
+        F.expr(
+            "cast((cast(_sum_s * 1000 as bigint) * 20 + n) div (2 * n) as double) / 10000.0"
+        ).alias("avg_elapsed_s"),
+        F.expr("cast((_errs * 2000 + n) div (2 * n) as double) / 10.0").alias(
+            "err_rate_pct"
+        ),
+    )
+
+
+_SQL_METHOD_STATS = """
+WITH d AS (
+  SELECT CASE WHEN user_id % 4 = 0 THEN 'GET' WHEN user_id % 4 = 1 THEN 'POST'
+              WHEN user_id % 4 = 2 THEN 'HEAD' ELSE 'PUT' END AS method,
+         round(CAST(value AS DECIMAL(18,6)), 3)::DOUBLE AS elapsed_s,
+         CASE WHEN value < 0.1 THEN 1 ELSE 0 END AS err
+  FROM events)
+SELECT method, count(*) AS n,
+       ((CAST(sum(CAST(elapsed_s AS DECIMAL(18,3))) * 1000 AS BIGINT) * 20 + count(*))
+         // (2 * count(*))) / 10000.0 AS avg_elapsed_s,
+       ((sum(err) * 2000 + count(*)) // (2 * count(*))) / 10.0 AS err_rate_pct
+FROM d GROUP BY method
+"""
+
+
 def q_fetch_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the REAL fetch stage (mapInPandas, Arrow-batched payload kernel)
     and gates every metadata column — image_id, dims, fmt, caption — against
@@ -1519,6 +1638,8 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprint": q_simhash,
         "srp_ann_topk": q_srp_ann,
         "fetch_metadata": q_fetch_metadata,
+        "rss_autodiscovery": q_rss_autodiscovery,
+        "method_stats": q_method_stats,
         # rows-only (no SQL oracle: binary image codecs)
         "image_stats": q_image_stats,
         "image_resize": q_image_resize,
@@ -1563,4 +1684,6 @@ def oracles() -> dict[str, str]:
         "simhash_fingerprint": _sql_simhash(),
         "srp_ann_topk": _sql_srp_ann(),
         "fetch_metadata": _sql_fetch_metadata(),
+        "rss_autodiscovery": _sql_rss_autodiscovery(),
+        "method_stats": _SQL_METHOD_STATS,
     }
