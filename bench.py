@@ -29,7 +29,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # large enough that per-row (linearly scaling) work dominates the fixed
 # ~30s of job/stage scheduling — the scaling-efficiency measurement needs
 # the parallel fraction to dwarf the constant part (Amdahl)
-N_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "1500000"))
+N_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "1000000"))
+# unpinned local[N] wall times on this shared box swing up to 3× run-to-run
+# (python workers outside the task slots + GC jitter); report the MEDIAN of
+# this many repeats per measurement. Pinned (taskset) runs are stable.
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 N_SMALL = max(CPUS // 4, 2)
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 
@@ -42,10 +46,17 @@ BENCH_QUERIES = [
     "reference_schedule",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "simhash_fingerprint",
     "text_quality",
     "ann_cosine_topk",
+    "srp_ann_topk",
     "phash_hamming_pairs",
     "bloom_seen_filter",
+    "fuzzy_date_parse",
+    "html_text_extract",
+    "token_budget_gate",
+    "fetch_metadata",
 ]
 
 
@@ -151,8 +162,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def _wave_subprocess(cpus: int, n_urls: int, pin: int | None = None) -> tuple[int, float]:
-    """Run one timed wave in a FRESH OS process: back-to-back sessions in
+def _wave_subprocess(
+    cpus: int, n_urls: int, pin: int | None = None, repeats: int = 1
+) -> tuple[int, float]:
+    """Run timed wave(s) in a FRESH OS process: back-to-back sessions in
     one process interfere (lingering python daemons, allocator state) and
     add 50%+ run-to-run variance.
 
@@ -160,11 +173,18 @@ def _wave_subprocess(cpus: int, n_urls: int, pin: int | None = None) -> tuple[in
     physical cores via taskset — models a cluster executor's dedicated-core
     budget, which plain local[N] does not (python workers are extra
     processes outside the N task slots).
+
+    repeats: number of measured waves after warmup; the MEDIAN elapsed is
+    returned (steady-state throughput, robust to one-off GC/scheduler
+    stalls that swing unpinned wall time up to 3× on this box).
     """
     import shutil
     import subprocess
 
-    cmd = [sys.executable, os.path.abspath(__file__), "--wave", str(cpus), str(n_urls)]
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "--wave", str(cpus), str(n_urls), str(repeats),
+    ]
     if pin and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{pin - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, check=True)
@@ -176,14 +196,18 @@ def _wave_subprocess(cpus: int, n_urls: int, pin: int | None = None) -> tuple[in
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--wave":
         cpus, n_urls = int(sys.argv[2]), int(sys.argv[3])
+        repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 1
         spark = _fresh_session(cpus)
         # untimed warmup of the identical pipeline: JIT + whole-stage
         # codegen + python-worker spawn are one-time costs a long-running
         # cluster job amortizes away; the measurement is steady-state
         crawl_wave_bench(spark, max(n_urls // 50, 5_000))
-        n, dt = crawl_wave_bench(spark, n_urls)
+        runs = [crawl_wave_bench(spark, n_urls) for _ in range(repeats)]
         spark.stop()
-        print(json.dumps({"fetched": n, "elapsed": dt}))
+        n = runs[0][0]
+        times = sorted(dt for _, dt in runs)
+        median = times[len(times) // 2]
+        print(json.dumps({"fetched": n, "elapsed": median, "all_elapsed": times}))
         return
 
     results: dict = {}
@@ -198,9 +222,9 @@ def main() -> None:
         n_pb, t_pb = _wave_subprocess(8, n_pin, pin=8)
         thr_ps, thr_pb = n_ps / t_ps, n_pb / t_pb
         # secondary: unpinned local[N_SMALL] vs local[CPUS] on the full N
-        n_s, t_s = _wave_subprocess(N_SMALL, N_URLS)
+        n_s, t_s = _wave_subprocess(N_SMALL, N_URLS, repeats=REPEATS)
         thr_s = n_s / t_s
-    n_b, t_b = _wave_subprocess(CPUS, N_URLS)
+    n_b, t_b = _wave_subprocess(CPUS, N_URLS, repeats=REPEATS)
     thr_b = n_b / t_b
     if RUN_SCALING:
         scaling = {
@@ -247,7 +271,9 @@ def _write_baseline_md(r: dict) -> None:
         "## Headline: URLs fetched+deduped per second (scale-mode crawl wave)",
         "",
         f"- frontier size: {r['crawl']['n_frontier_urls']} URLs (distributed synthetic, 20% hot-host skew, 25% pre-seen)",
-        f"- fetched+deduped: {r['crawl']['fetched']} rows in {r['crawl']['elapsed_sec']} s",
+        f"- fetched+deduped: {r['crawl']['fetched']} rows in {r['crawl']['elapsed_sec']} s "
+        f"(median of {REPEATS} steady-state waves after warmup; unpinned wall "
+        "time on this shared box swings up to 3x run-to-run)",
         f"- throughput at local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]: **{r['value']} urls/sec**",
         "- pipeline: canonicalize → Bloom(2^22 bits × 64 shards)+exact seen filter → priority frontier → politeness budgets → hot-host salting → deterministic image fetch (mapInPandas)",
         "- reference floor being replaced: 0.014–0.056 urls/sec (50–200 articles/hour, single asyncio process — BASELINE.md)",

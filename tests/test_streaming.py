@@ -79,3 +79,60 @@ def test_windowed_host_metrics(spark, dirs):
     q.awaitTermination(120)
     rows = {r.host: r.discovered for r in spark.sql("select * from host_metrics").collect()}
     assert rows == {"h0.example.com": 10, "h1.example.com": 10}
+
+
+def test_late_data_dropped_past_watermark(spark, dirs):
+    """§2.10 late data: append-mode windowed agg with a 2-minute watermark —
+    a row arriving in a later micro-batch with event time far behind the
+    advanced watermark must NOT re-open its (already-emitted) window."""
+    import datetime as dt
+
+    input_dir, ckpt, tmp = dirs
+
+    def _write(ts_list, base_rank):
+        rows = [
+            Row(
+                url=f"https://h.example.com/a/{base_rank + i}",
+                source_id=0,
+                feed_rank=base_rank + i,
+                score=0.5,
+                discovered_at=t,
+            )
+            for i, t in enumerate(ts_list)
+        ]
+        spark.createDataFrame(rows, fs.FRONTIER_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(input_dir)
+
+    def _run(name):
+        stream = fs.canonicalize_stream(
+            fs.read_frontier_stream(spark, input_dir, max_files_per_trigger=1)
+        )
+        agg = fs.windowed_host_metrics(stream)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.window_start, r.host): r.discovered
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    # batch 1: 3 rows in minute 0, watermark-advancer at minute 10
+    _write([base, base, base, base + dt.timedelta(minutes=10)], 0)
+    first = _run("late_a")
+    # minute-0 window closed (watermark = 10:00 - 2min = 08:00 > 01:00)
+    assert first.get((base, "h.example.com")) == 3
+
+    # batch 2: one LATE row for minute 0 (behind the checkpointed watermark)
+    # plus another advancer so the new batch emits something
+    _write([base + dt.timedelta(seconds=30), base + dt.timedelta(minutes=20)], 100)
+    second = _run("late_b")
+    # the late row was dropped: no re-emission / no correction row for min 0
+    assert (base, "h.example.com") not in second
