@@ -25,7 +25,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.urlnorm import surt_url, url_host
@@ -71,6 +71,63 @@ def fetch_images(scheduled: DataFrame, seed: int = 42, wave: int = 0) -> DataFra
 
     cols = ["url", "source_name", "source_id", "seq"]
     return scheduled.select(*cols).mapInPandas(_fetch, CORPUS_FETCH_SCHEMA)
+
+
+# F1 article-URL classifier regexes (html_template.py:362-395) shared by the
+# link-discovery scan and the url_classifier catalog query
+SKIP_URL_RE = "/(search|tag|category|login)/|\\.(jpg|png|gif|css|js)$|/api/"
+KEEP_URL_RE = "/(news|article|story|docs)/|/20[0-9]{2}/"
+
+
+def discover_links(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_links: int = 20,
+    classify: bool = True,
+) -> DataFrame:
+    """S6 HTML index scan (reference html_template.py:92-156): fetched pages
+    → candidate article links, as one relational pipeline:
+
+        regexp_extract_all hrefs (document order preserved via posexplode)
+        → resolve relative hrefs against the page URL (C1, Arrow-batched
+          urljoin — the only Python step)
+        → F1 skip/keep article classifier
+        → within-page dedup keeping the FIRST occurrence (J4: the
+          reference's dict.fromkeys order-preserving dedup)
+        → per-page cap at max_links (W3: unique_links[:20]).
+
+    Returns (page_url, link_pos, link) rows. Scale: everything before the
+    per-page window is map-side; the window partitions by page URL, whose
+    cardinality is the page count — no global shuffle hot spot.
+    """
+    from ..functions.urlnorm import resolve_urls
+
+    hrefs = F.regexp_extract_all(
+        F.col(html_col), F.lit('(?i)<a[^>]*href="([^"]+)"'), F.lit(1)
+    )
+    exploded = pages.select(
+        F.col(url_col).alias("page_url"),
+        F.posexplode(hrefs).alias("link_pos", "href"),
+    )
+    resolved = exploded.withColumn(
+        "link", resolve_urls(F.col("page_url"), F.col("href"))
+    )
+    if classify:
+        resolved = resolved.filter(
+            ~F.col("link").rlike(SKIP_URL_RE) & F.col("link").rlike(KEEP_URL_RE)
+        )
+    first = resolved.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("page_url", "link").orderBy("link_pos")
+        ),
+    ).filter(F.col("_rn") == 1)
+    capped = first.withColumn(
+        "_k",
+        F.row_number().over(Window.partitionBy("page_url").orderBy("link_pos")),
+    ).filter(F.col("_k") <= max_links)
+    return capped.select("page_url", "link_pos", "link")
 
 
 def run_equivalence_cycle(

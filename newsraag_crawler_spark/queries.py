@@ -810,8 +810,8 @@ WINDOW w5 AS (PARTITION BY event_type ORDER BY event_id ROWS BETWEEN 4 PRECEDING
 """
 
 
-_SKIP_RE = "/(search|tag|category|login)/|\\.(jpg|png|gif|css|js)$|/api/"
-_KEEP_RE = "/(news|article|story|docs)/|/20[0-9]{2}/"
+from .operators.wave import KEEP_URL_RE as _KEEP_RE  # noqa: E402
+from .operators.wave import SKIP_URL_RE as _SKIP_RE  # noqa: E402
 
 
 def q_url_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1406,6 +1406,69 @@ FROM d GROUP BY method
 """
 
 
+def q_discover_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 HTML index scan: page HTML → classified, within-page-deduped,
+    capped article links, with relative hrefs resolved through the REAL
+    Arrow-batched urljoin (html_template.py:92-156). The synthesized pages
+    use absolute and root-relative hrefs so the oracle can mirror resolution
+    in SQL while Spark runs the genuine resolver."""
+    from .operators.wave import discover_links
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="/news/a'), i, F.lit('">one</a>'),
+        F.lit('<a href="https://ext.example.org/story/'), i, F.lit('">two</a>'),
+        F.lit('<a href="/tag/t'), i, F.lit('">skip</a>'),
+        F.lit('<a href="/news/a'), i, F.lit('">dup</a>'),
+        F.lit('<a href="/2024/p'), i, F.lit('">three</a>'),
+        F.lit('<a href="/news/b'), i, F.lit('">four</a></body></html>'),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://h"), F.pmod("doc_id", F.lit(7)).cast("string"),
+                 F.lit(".example.com/index/"), i).alias("url"),
+        html.alias("html"),
+    )
+    out = discover_links(pages, max_links=3)
+    return out.select("page_url", "link_pos", "link")
+
+
+def _sql_discover_links() -> str:
+    href_pat = '(?i)<a[^>]*href="([^"]+)"'
+    base = "regexp_extract(page_url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)', 1)"
+    return f"""
+WITH pages AS (
+  SELECT 'https://h' || (doc_id % 7)::VARCHAR || '.example.com/index/' || doc_id::VARCHAR AS page_url,
+         '<html><body><a href="/news/a' || doc_id::VARCHAR || '">one</a>'
+         || '<a href="https://ext.example.org/story/' || doc_id::VARCHAR || '">two</a>'
+         || '<a href="/tag/t' || doc_id::VARCHAR || '">skip</a>'
+         || '<a href="/news/a' || doc_id::VARCHAR || '">dup</a>'
+         || '<a href="/2024/p' || doc_id::VARCHAR || '">three</a>'
+         || '<a href="/news/b' || doc_id::VARCHAR || '">four</a></body></html>' AS html
+  FROM documents),
+ex AS (
+  SELECT page_url, i::INT AS link_pos,
+         regexp_extract_all(html, '{href_pat}', 1)[i::INT + 1] AS href
+  FROM pages, unnest(range(0, len(regexp_extract_all(html, '{href_pat}', 1)))) AS t(i)),
+resolved AS (
+  SELECT page_url, link_pos,
+         CASE WHEN href LIKE '/%' THEN {base} || href ELSE href END AS link
+  FROM ex),
+classified AS (
+  SELECT * FROM resolved
+  WHERE NOT regexp_matches(link, '{_SKIP_RE}')
+    AND regexp_matches(link, '{_KEEP_RE}')),
+firsts AS (
+  SELECT *, row_number() OVER (PARTITION BY page_url, link ORDER BY link_pos) AS rn
+  FROM classified),
+capped AS (
+  SELECT page_url, link_pos, link,
+         row_number() OVER (PARTITION BY page_url ORDER BY link_pos) AS k
+  FROM firsts WHERE rn = 1)
+SELECT page_url, link_pos, link FROM capped WHERE k <= 3
+"""
+
+
 def q_fetch_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the REAL fetch stage (mapInPandas, Arrow-batched payload kernel)
     and gates every metadata column — image_id, dims, fmt, caption — against
@@ -1638,6 +1701,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprint": q_simhash,
         "srp_ann_topk": q_srp_ann,
         "fetch_metadata": q_fetch_metadata,
+        "discover_links": q_discover_links,
         "rss_autodiscovery": q_rss_autodiscovery,
         "method_stats": q_method_stats,
         # rows-only (no SQL oracle: binary image codecs)
@@ -1684,6 +1748,7 @@ def oracles() -> dict[str, str]:
         "simhash_fingerprint": _sql_simhash(),
         "srp_ann_topk": _sql_srp_ann(),
         "fetch_metadata": _sql_fetch_metadata(),
+        "discover_links": _sql_discover_links(),
         "rss_autodiscovery": _sql_rss_autodiscovery(),
         "method_stats": _SQL_METHOD_STATS,
     }

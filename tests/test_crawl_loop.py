@@ -123,3 +123,31 @@ def test_crash_mid_wave_resume_is_idempotent(spark, tmp_path):
         corpus.groupBy("url").count().filter(F.col("count") > 1).count()
     )
     assert dup_by_wave == 0
+
+
+def test_discover_links_resolves_relative_and_caps(spark):
+    """S6: real urljoin semantics (dot-segments, sibling-relative paths),
+    order-preserving within-page dedup, per-page cap."""
+    from pyspark.sql import Row
+
+    from newsraag_crawler_spark.operators.wave import discover_links
+
+    html = (
+        '<a href="../news/up.html">a</a>'      # parent-relative, keep
+        '<a href="contact.html">b</a>'          # sibling-relative, not article
+        '<a href="/news/abs">c</a>'
+        '<a href="../news/up.html">dup</a>'
+        '<a href="https://x.example.org/article/z">d</a>'
+        '<a href="/assets/p.jpg">skip</a>'
+    )
+    pages = spark.createDataFrame(
+        [Row(url="https://h.example.com/section/index.html", html=html)]
+    )
+    out = discover_links(pages, max_links=2)
+    got = [(r.link_pos, r.link) for r in out.orderBy("link_pos").collect()]
+    # urljoin: '../news/up.html' against /section/index.html -> /news/up.html;
+    # the dup at pos 3 is dropped, the cap keeps the first 2 article links
+    assert got == [
+        (0, "https://h.example.com/news/up.html"),
+        (2, "https://h.example.com/news/abs"),
+    ]

@@ -104,35 +104,41 @@ def test_late_data_dropped_past_watermark(spark, dirs):
             "append"
         ).parquet(input_dir)
 
-    def _run(name):
+    out_dir = str(tmp / "late_out")
+
+    def _run():
+        # parquet sink: append mode + checkpoint recovery (memory sink can't
+        # resume), so watermark state carries across the two runs
         stream = fs.canonicalize_stream(
             fs.read_frontier_stream(spark, input_dir, max_files_per_trigger=1)
         )
         agg = fs.windowed_host_metrics(stream)
         q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
             .option("checkpointLocation", ckpt)
+            .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(120)
-        return {
-            (r.window_start, r.host): r.discovered
-            for r in spark.sql(f"select * from {name}").collect()
-        }
+        rows = spark.read.parquet(out_dir).collect()
+        out = {}
+        for r in rows:
+            out.setdefault((r.window_start, r.host), []).append(r.discovered)
+        return out
 
     base = dt.datetime(2026, 1, 1, 0, 0, 0)
     # batch 1: 3 rows in minute 0, watermark-advancer at minute 10
     _write([base, base, base, base + dt.timedelta(minutes=10)], 0)
-    first = _run("late_a")
+    first = _run()
     # minute-0 window closed (watermark = 10:00 - 2min = 08:00 > 01:00)
-    assert first.get((base, "h.example.com")) == 3
+    assert first.get((base, "h.example.com")) == [3]
 
     # batch 2: one LATE row for minute 0 (behind the checkpointed watermark)
     # plus another advancer so the new batch emits something
     _write([base + dt.timedelta(seconds=30), base + dt.timedelta(minutes=20)], 100)
-    second = _run("late_b")
-    # the late row was dropped: no re-emission / no correction row for min 0
-    assert (base, "h.example.com") not in second
+    second = _run()
+    # the late row was dropped: still exactly one emission of 3 for minute 0,
+    # no correction row
+    assert second.get((base, "h.example.com")) == [3]
