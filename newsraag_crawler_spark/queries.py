@@ -827,7 +827,7 @@ def q_url_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("/misc/"), F.col("doc_id").cast("string")))
     )
     url = F.concat(F.lit("https://h.example.com"), path)
-    return _docs(spark, sf_dir).select(
+    return d.select(
         "doc_id",
         url.alias("url"),
         (~url.rlike(_SKIP_RE) & url.rlike(_KEEP_RE)).alias("is_article"),
