@@ -6,8 +6,10 @@ entry(spark)  — flagship: an end-to-end reference-equivalence crawl cycle
 queries()     — one entry per implemented operator (SURVEY.md §2), each
                 (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent SQL per query (same column names/types);
-                rows-only ops (binary payloads, UDF hashes, approximate ANN)
-                are intentionally absent.
+                only binary-codec outputs (image_stats, image_resize,
+                crawl_wave_scale payload bytes) are intentionally absent —
+                those carry pure-Python golden oracles in tests/test_images.py
+                and tests/test_wave_oracle.py instead.
 """
 
 from __future__ import annotations

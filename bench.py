@@ -221,7 +221,7 @@ def main() -> None:
         # smaller input lets constant per-stage costs eat its throughput and
         # understate efficiency (Amdahl) — 200k measured 0.776 vs 0.82 @300k
         n_pin = 300_000
-        n_ps, t_ps = _wave_subprocess(2, n_pin, pin=2)
+        n_ps, t_ps = _wave_subprocess(2, n_pin, pin=2, repeats=REPEATS)
         n_pb, t_pb = _wave_subprocess(8, n_pin, pin=8, repeats=REPEATS)
         thr_ps, thr_pb = n_ps / t_ps, n_pb / t_pb
         # secondary: unpinned local[N_SMALL] vs local[CPUS] on the full N
@@ -300,6 +300,12 @@ def _write_baseline_md(r: dict) -> None:
             f"| 8 | {p['urls_per_sec_big']} |",
             "",
             f"Scaling efficiency N→4N = **{p['scaling_efficiency']}** (target ≥ 0.8).",
+            "",
+            "Methodology note (r2+): every wall time is the MEDIAN of "
+            f"{REPEATS} steady-state waves after an untimed warmup, both "
+            "pinned sides symmetric. Round-1 numbers were single samples; "
+            "unpinned single samples swing up to 3× on this shared box, so "
+            "cross-round comparisons should use medians only.",
             "",
             f"**Secondary (unpinned local[{u['n_small']}] vs local[{u['n_big']}], {u['n_urls']} URLs):**",
             f"{u['urls_per_sec_small']} → {u['urls_per_sec_big']} urls/sec, efficiency {u['scaling_efficiency']}.",

@@ -112,17 +112,23 @@ def srp_coeffs(dim: int, n_bits: int) -> list[list[int]]:
 def srp_bucket_portable(vec_col, dim: int, n_bits: int):
     """SRP bucket as a pure column expression over literal coefficients.
 
-    dot_j built as an explicit LEFT-ASSOCIATIVE sum so the IEEE operation
-    order matches the DuckDB mirror term-for-term; the sign is taken on the
+    Each dot_j is a zip_with(vec, coeff_literals, *) followed by a LEFT-FOLD
+    aggregate sum — the identical IEEE operation sequence as the DuckDB
+    mirror's explicit left-associative sum (0.0 + t1 == t1 exactly, so the
+    fold's zero seed changes nothing). A fold keeps the expression tree
+    O(n_bits) instead of O(n_bits × dim): the flat 512-term sum spent
+    seconds in Catalyst/codegen compilation. The sign is taken on the
     6dp-rounded dot so a sub-1e-6 cross-engine residue can't flip a bit.
     """
     c = srp_coeffs(dim, n_bits)
     bucket = F.lit(0)
     for j in range(n_bits):
-        dot = None
-        for i in range(dim):
-            term = F.element_at(vec_col, i + 1) * F.lit(float(c[i][j]))
-            dot = term if dot is None else dot + term
+        coeffs = F.array(*[F.lit(float(c[i][j])) for i in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(vec_col, coeffs, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bucket = bucket + F.when(F.round(dot, 6) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket.cast("int")
 
