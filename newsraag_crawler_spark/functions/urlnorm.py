@@ -262,7 +262,12 @@ def resolve_urls(base: Column | str, href: Column | str) -> Column:
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StringType
 
-    resolver = pandas_udf(_resolve_series, StringType())
+    # asNondeterministic: urljoin IS deterministic, but a deterministic
+    # Python UDF gets DUPLICATED by filter/projection pushdown (the predicate
+    # substitution inlines the expression → two ArrowEvalPython passes per
+    # row, observed in the discover_links plan). Marking it nondeterministic
+    # forbids Catalyst from cloning or re-ordering it — one Arrow pass.
+    resolver = pandas_udf(_resolve_series, StringType()).asNondeterministic()
     base = F.col(base) if isinstance(base, str) else base
     href = F.col(href) if isinstance(href, str) else href
     return resolver(base, href)

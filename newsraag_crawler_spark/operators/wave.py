@@ -113,16 +113,22 @@ def discover_links(
     resolved = exploded.withColumn(
         "link", resolve_urls(F.col("page_url"), F.col("href"))
     )
-    if classify:
-        resolved = resolved.filter(
-            ~F.col("link").rlike(SKIP_URL_RE) & F.col("link").rlike(KEEP_URL_RE)
-        )
+    # dedup window BEFORE the classifier filter: a filter directly above the
+    # resolver projection gets pushed into it, DUPLICATING the Python UDF
+    # (Catalyst inlines per reference — observed as 2× ArrowEvalPython in the
+    # plan); the window is a collapse barrier, so `link` materializes once.
+    # Classifying after first-occurrence dedup is semantics-preserving: the
+    # classifier is a pure per-link predicate.
     first = resolved.withColumn(
         "_rn",
         F.row_number().over(
             Window.partitionBy("page_url", "link").orderBy("link_pos")
         ),
     ).filter(F.col("_rn") == 1)
+    if classify:
+        first = first.filter(
+            ~F.col("link").rlike(SKIP_URL_RE) & F.col("link").rlike(KEEP_URL_RE)
+        )
     capped = first.withColumn(
         "_k",
         F.row_number().over(Window.partitionBy("page_url").orderBy("link_pos")),

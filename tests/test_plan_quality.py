@@ -100,3 +100,54 @@ def test_fetch_partition_count_explicit(spark):
     n_parts = out["corpus"].rdd.getNumPartitions()
     expected = spark.sparkContext.defaultParallelism * 4
     assert n_parts == expected, (n_parts, expected)
+
+
+def test_simhash_plan_is_pure_jvm(spark):
+    """Relational SimHash: no Python evaluation anywhere in the plan, and
+    exactly one exchange (the groupBy on the doc id with partial agg)."""
+    from newsraag_crawler_spark.queries import q_simhash
+
+    p = _plan(q_simhash(spark, SF), mode="simple")
+    assert "PythonUDF" not in p and "ArrowEvalPython" not in p, p
+    assert "BatchEvalPython" not in p
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges\n{p}"
+    assert "partial" in p.lower() or "HashAggregate" in p  # map-side combine
+
+
+def test_srp_ann_is_bucket_join_not_cartesian(spark):
+    """The approximate ANN path must join on bucket equality — never a
+    cartesian/BNLJ against the corpus (that's the exact path's job)."""
+    from newsraag_crawler_spark.queries import q_srp_ann
+
+    p = _plan(q_srp_ann(spark, SF), mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
+
+
+def test_discover_links_single_python_stage(spark):
+    """Link discovery: one Arrow-batched resolver eval, no cartesian, and
+    the extraction/classification stays JVM-side."""
+    from newsraag_crawler_spark.queries import q_discover_links
+
+    p = _plan(q_discover_links(spark, SF), mode="simple")
+    assert p.count("ArrowEvalPython") == 1, p
+    assert "CartesianProduct" not in p
+
+
+def test_extraction_scalars_pure_jvm_no_shuffle(spark):
+    """The whole extraction family (fuzzy dates, HTML date/text, XML repair,
+    robust parse) must be map-side JVM regexp work: no Python, no exchange."""
+    from newsraag_crawler_spark.queries import (
+        q_fuzzy_date_parse,
+        q_html_date_extract,
+        q_html_text_extract,
+        q_robust_parse,
+        q_xml_repair,
+    )
+
+    for q in (q_fuzzy_date_parse, q_html_date_extract, q_html_text_extract,
+              q_xml_repair, q_robust_parse):
+        p = _plan(q(spark, SF), mode="simple")
+        assert "PythonUDF" not in p and "ArrowEvalPython" not in p, (q, p)
+        assert "Exchange" not in p, (q, p)
