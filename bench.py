@@ -131,8 +131,13 @@ def crawl_wave_bench(spark, n_urls: int) -> tuple[int, float]:
     census = skew_census(due, threshold=5000)
     salted = salt_hot_hosts(due, census)
     # explicit partition count: AQE would coalesce the byte-small pre-fetch
-    # shuffle to 1 partition and serialize the codec-heavy fetch UDF
-    n_parts = spark.sparkContext.defaultParallelism * 4
+    # shuffle to 1 partition and serialize the codec-heavy fetch UDF.
+    # CONSTANT (data-sized, ~10-50k rows/task), NOT parallelism-derived: a
+    # scaling measurement must hold the partitioning fixed while varying
+    # cores — dp*4 handed the small run 4x-larger Arrow batches (less
+    # per-task overhead) and understated efficiency; on a real cluster the
+    # partition count follows the data volume, not the executor count
+    n_parts = max(32, n_urls // 12_500)
     scheduled = (
         salted.repartition(n_parts, F.col("fetch_key"))
         .withColumn("source_name", F.concat(F.lit("src"), F.col("source_id").cast("string")))

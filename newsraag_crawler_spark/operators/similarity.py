@@ -202,3 +202,62 @@ def srp_topk(
     ).dropDuplicates([qid_col, id_col])
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path next to
+    SRP-LSH: a coarse quantizer routes vectors into cells, queries probe only
+    the n_probe nearest cells, exact cosine runs inside the probed cells.
+
+    The coarse quantizer here is SEEDED (the first n_cells corpus vectors by
+    id) — deterministic and oracle-mirrorable; a production build would
+    Lloyd-iterate it with the same relational assign/groupBy-average pattern.
+
+    Scale shape: centroids broadcast (n_cells rows); cell assignment is one
+    map-side pass over the corpus; the candidate join is an equi-join on
+    cell id — corpus rows are touched once, never a cross product. Cell
+    ranking uses round(cosine, 6) with a centroid-id tiebreak so a sub-1e-6
+    floating-point residue can't flip an assignment between engines.
+    """
+    centroids = (
+        corpus.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("_ccos"), 6).desc(), F.col("cell")
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("_ccos", cosine_sim(F.col(vec_col), F.col("cvec")))
+        .withColumn("_cr", F.row_number().over(w_assign))
+        .filter(F.col("_cr") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    w_probe = Window.partitionBy(qid_col).orderBy(
+        F.round(F.col("_qcos"), 6).desc(), F.col("cell")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_qcos", cosine_sim(F.col(qvec_col), F.col("cvec")))
+        .withColumn("_qr", F.row_number().over(w_probe))
+        .filter(F.col("_qr") <= n_probe)
+        .select(qid_col, qvec_col, "cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell")
+    scored = cand.select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine_sim(F.col(vec_col), F.col(qvec_col)).alias("cosine"),
+    ).dropDuplicates([qid_col, id_col])
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

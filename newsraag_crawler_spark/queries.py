@@ -1629,6 +1629,113 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
 """
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (the second ANN scale path next to SRP-LSH):
+    seeded coarse quantizer (first 16 vectors), 4-probe cell routing, exact
+    cosine inside probed cells — fully relational and oracle-mirrored."""
+    from .operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4).select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+_SQL_IVF_ANN = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cvec FROM e WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cell) AS cr
+    FROM e CROSS JOIN cents c) WHERE cr = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC, c.cell) AS qr
+    FROM q CROSS JOIN cents c) WHERE qr <= 4),
+cand AS (
+  SELECT p.query_id, a.vec_id, list_cosine_similarity(a.v, p.qv) AS cos_raw
+  FROM assigned a JOIN probes p ON a.cell = p.cell),
+ranked AS (
+  SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM cand)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: SRP-bucketed candidate pairs
+    (Hamming ≤ 1 multiprobe — never all-pairs) → exact cosine ≥ 0.98.
+    Near-dups synthesized by perturbing one coordinate of every 10th vector;
+    the oracle mirrors the SAME bucketed algorithm (like the MinHash-LSH
+    gate), so the driver checks implementation equivalence."""
+    from .operators.similarity import cosine_sim, srp_bucket_portable
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    clones = emb.filter(F.pmod("vec_id", F.lit(10)) == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.1)),
+            F.slice("embedding", 2, _EMB_DIM - 1),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(clones).withColumn(
+        "bucket", srp_bucket_portable(F.col("embedding"), _EMB_DIM, _SRP_BITS)
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(_SRP_BITS)],
+    )
+    a = corpus.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.explode(probes).alias("bucket"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_sim(F.col("va"), F.col("vb")).alias("cos"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cos") >= 0.98)
+    )
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+
+
+def _sql_dedup_embedding() -> str:
+    from .operators.similarity import srp_bucket_portable_sql
+
+    bexpr = srp_bucket_portable_sql("v", _EMB_DIM, _SRP_BITS)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, [v[1] + 0.1] || v[2:] FROM base WHERE vec_id % 10 = 0),
+b AS (SELECT vec_id, v, {bexpr} AS bucket FROM corpus),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         list_cosine_similarity(a.v, b2.v) AS cos
+  FROM b a JOIN b b2
+    ON bit_count(xor(a.bucket::BIGINT, b2.bucket::BIGINT)) <= 1
+   AND a.vec_id < b2.vec_id)
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs WHERE cos >= 0.98
+"""
+
+
 def q_crawl_wave_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full scale-mode crawl wave over a synthesized frontier (politeness +
     robots + priority + salting + fetch). Rows-only: binary payloads."""
@@ -1695,6 +1802,8 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "text_quality": q_text_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_ann_topk": q_ivf_ann,
+        "dedup_embedding_cosine": q_dedup_embedding,
         "phash_hamming_pairs": q_phash_hamming,
         "crawl_cycle_stats": q_cycle_stats,
         "bloom_seen_filter": q_bloom_seen_filter,
@@ -1742,6 +1851,8 @@ def oracles() -> dict[str, str]:
         "dedup_ngram_jaccard": _sql_dedup_jaccard(),
         "text_quality": _sql_text_quality(),
         "ann_cosine_topk": _SQL_ANN_TOPK,
+        "ivf_ann_topk": _SQL_IVF_ANN,
+        "dedup_embedding_cosine": _sql_dedup_embedding(),
         "phash_hamming_pairs": _sql_phash_hamming(),
         "crawl_cycle_stats": _SQL_CYCLE_STATS,
         "bloom_seen_filter": _sql_bloom_seen(),
