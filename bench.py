@@ -267,7 +267,10 @@ def main() -> None:
         "crawl": {"n_frontier_urls": N_URLS, "fetched": n_b, "elapsed_sec": round(t_b, 2)},
         "scaling": scaling,
     }
-    _write_baseline_md(results)
+    # smoke/verify runs (tiny N, scaling off) set this to 0 so they don't
+    # clobber the last full run's published numbers
+    if os.environ.get("SPARK_GRAFT_WRITE_BASELINE", "1") == "1":
+        _write_baseline_md(results)
     spark.stop()
     print(json.dumps(results))
 

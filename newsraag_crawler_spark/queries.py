@@ -1681,8 +1681,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate), so the driver checks implementation equivalence."""
     from .operators.similarity import cosine_sim, srp_bucket_portable
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     clones = emb.filter(F.pmod("vec_id", F.lit(10)) == 0).select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),

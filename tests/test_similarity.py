@@ -53,3 +53,24 @@ def test_srp_topk_recall(spark):
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.8, recall
+
+
+def test_ivf_topk_good_recall_on_clusters(spark):
+    """IVF with seeded centroids on clustered data: the query's cluster-mates
+    live in its nearest cells, so 4-probe recall vs exact must be high."""
+    from newsraag_crawler_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, DIM)) * 4
+    vecs = np.concatenate([c + 0.1 * rng.standard_normal((12, DIM)) for c in centers])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id").isin([0, 12, 24])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(df, queries, k=10)
+    approx = ivf_topk(df, queries, k=10, n_cells=16, n_probe=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, recall
