@@ -582,6 +582,35 @@ WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.key = f.key)
 """
 
 
+def q_cuckoo_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase cuckoo-filter seen set (the deletion-capable alternative to
+    Bloom): cuckoo-negative rows are definitely fresh (no-false-negatives is
+    pytest-gated), cuckoo-positive rows are exact-confirmed — the result
+    MUST equal the plain exact anti-join, which is the oracle."""
+    from .operators.dedup import anti_join_seen, build_cuckoo_shards, probe_cuckoo
+
+    d = _docs_with_url(spark, sf_dir).withColumn("key", U.surt_url("url"))
+    seen = d.filter(F.pmod("doc_id", F.lit(3)) == 0).select("key")
+    shards = build_cuckoo_shards(seen, n_shards=16, n_buckets=1 << 12)
+    probed = probe_cuckoo(
+        d, shards, n_shards=16, n_buckets=1 << 12
+    ).localCheckpoint(eager=True)  # both branches run under one action
+    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed = anti_join_seen(maybe, seen, "key")
+    return fresh.unionByName(confirmed).select("doc_id", "key")
+
+
+def _sql_cuckoo_seen() -> str:
+    surt = U.duckdb_surt_sql(_URL_DUCK)
+    return f"""
+WITH f AS (SELECT doc_id, {surt} AS key FROM documents),
+seen AS (SELECT key FROM f WHERE doc_id % 3 = 0)
+SELECT doc_id, key FROM f
+WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.key = f.key)
+"""
+
+
 def q_content_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C14: split oversized content into fixed-size chunks with
     chunk_index/n_chunks (reference qdrant_client.py:245-317, 500-char
@@ -1808,6 +1837,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_hamming_pairs": q_phash_hamming,
         "crawl_cycle_stats": q_cycle_stats,
         "bloom_seen_filter": q_bloom_seen_filter,
+        "cuckoo_seen_filter": q_cuckoo_seen_filter,
         "simhash_fingerprint": q_simhash,
         "srp_ann_topk": q_srp_ann,
         "fetch_metadata": q_fetch_metadata,
@@ -1857,6 +1887,7 @@ def oracles() -> dict[str, str]:
         "phash_hamming_pairs": _sql_phash_hamming(),
         "crawl_cycle_stats": _SQL_CYCLE_STATS,
         "bloom_seen_filter": _sql_bloom_seen(),
+        "cuckoo_seen_filter": _sql_cuckoo_seen(),
         "simhash_fingerprint": _sql_simhash(),
         "srp_ann_topk": _sql_srp_ann(),
         "fetch_metadata": _sql_fetch_metadata(),
