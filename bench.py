@@ -51,8 +51,11 @@ BENCH_QUERIES = [
     "text_quality",
     "ann_cosine_topk",
     "srp_ann_topk",
+    "ivf_ann_topk",
+    "dedup_embedding_cosine",
     "phash_hamming_pairs",
     "bloom_seen_filter",
+    "cuckoo_seen_filter",
     "fuzzy_date_parse",
     "html_text_extract",
     "token_budget_gate",
@@ -68,7 +71,15 @@ def _fresh_session(cpus: int):
         active.stop()
     from newsraag_crawler_spark.session import build_session
 
-    return build_session(f"bench_{cpus}", cpus=cpus)
+    # worker.reuse=false: long-lived reused python daemons BLOAT while
+    # streaming ~9 GB of image payloads per wave and progressively throttle
+    # the fetch (measured at 32 threads: waves degrade 19s -> 33s -> 61s
+    # reused vs a stable 21/19/20s fresh). Fresh-worker spawn is ~50 ms per
+    # task — noise against 12.5k-row fetch tasks.
+    return build_session(
+        f"bench_{cpus}", cpus=cpus,
+        extra_conf={"spark.python.worker.reuse": "false"},
+    )
 
 
 def crawl_wave_bench(spark, n_urls: int) -> tuple[int, float]:
@@ -137,7 +148,10 @@ def crawl_wave_bench(spark, n_urls: int) -> tuple[int, float]:
     # cores — dp*4 handed the small run 4x-larger Arrow batches (less
     # per-task overhead) and understated efficiency; on a real cluster the
     # partition count follows the data volume, not the executor count
-    n_parts = max(32, n_urls // 12_500)
+    # >= 4 tasks per slot at the widest config (local[32]) so the wave time
+    # is not bound by one straggler partition under host skew; still
+    # data-derived and IDENTICAL at every parallelism level
+    n_parts = max(128, n_urls // 12_500)
     scheduled = (
         salted.repartition(n_parts, F.col("fetch_key"))
         .withColumn("source_name", F.concat(F.lit("src"), F.col("source_id").cast("string")))
@@ -212,8 +226,23 @@ def main() -> None:
         # untimed warmup of the identical pipeline: JIT + whole-stage
         # codegen + python-worker spawn are one-time costs a long-running
         # cluster job amortizes away; the measurement is steady-state
+        def _release_blocks():
+            # the wave's eager localCheckpoints pin RDD blocks in the block
+            # manager; without an explicit release they ACCUMULATE across
+            # repeated waves in one session (measured: wave2 2x slower than
+            # wave1 at 32 threads — GC pressure from dead checkpoint blocks).
+            # A production multi-wave driver holds no reference either; this
+            # makes the cleanup deterministic instead of ContextCleaner-timed.
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jmap.values()):
+                jrdd.unpersist(True)
+
         crawl_wave_bench(spark, max(n_urls // 50, 5_000))
-        runs = [crawl_wave_bench(spark, n_urls) for _ in range(repeats)]
+        _release_blocks()
+        runs = []
+        for _ in range(repeats):
+            runs.append(crawl_wave_bench(spark, n_urls))
+            _release_blocks()
         spark.stop()
         n = runs[0][0]
         times = sorted(dt for _, dt in runs)
