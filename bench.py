@@ -71,15 +71,7 @@ def _fresh_session(cpus: int):
         active.stop()
     from newsraag_crawler_spark.session import build_session
 
-    # worker.reuse=false: long-lived reused python daemons BLOAT while
-    # streaming ~9 GB of image payloads per wave and progressively throttle
-    # the fetch (measured at 32 threads: waves degrade 19s -> 33s -> 61s
-    # reused vs a stable 21/19/20s fresh). Fresh-worker spawn is ~50 ms per
-    # task — noise against 12.5k-row fetch tasks.
-    return build_session(
-        f"bench_{cpus}", cpus=cpus,
-        extra_conf={"spark.python.worker.reuse": "false"},
-    )
+    return build_session(f"bench_{cpus}", cpus=cpus)
 
 
 def crawl_wave_bench(spark, n_urls: int) -> tuple[int, float]:
@@ -199,23 +191,31 @@ def _wave_subprocess(
     budget, which plain local[N] does not (python workers are extra
     processes outside the N task slots).
 
-    repeats: number of measured waves after warmup; the MEDIAN elapsed is
-    returned (steady-state throughput, robust to one-off GC/scheduler
-    stalls that swing unpinned wall time up to 3× on this box).
+    repeats: number of measured waves, EACH in its own fresh process (fresh
+    JVM + fresh python daemons); the MEDIAN elapsed is returned. Repeats
+    within one session are NOT comparable: reused python daemon workers
+    bloat while streaming ~9 GB of payload per wave and degrade later waves
+    2-3x (measured 19s -> 33s -> 61s at 32 threads), while reuse=false
+    swaps that for a per-task interpreter+numpy import tax that skews
+    small-core runs instead. One wave per process sidesteps both.
     """
     import shutil
     import subprocess
 
     cmd = [
         sys.executable, os.path.abspath(__file__),
-        "--wave", str(cpus), str(n_urls), str(repeats),
+        "--wave", str(cpus), str(n_urls), "1",
     ]
     if pin and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{pin - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    d = json.loads(line)
-    return d["fetched"], d["elapsed"]
+    times = []
+    for _ in range(repeats):
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        d = json.loads(line)
+        times.append(d["elapsed"])
+    times.sort()
+    return d["fetched"], times[len(times) // 2]
 
 
 def main() -> None:
