@@ -549,7 +549,7 @@ def q_cycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CYCLE_STATS = """
 SELECT source_id, count(*) AS discovered,
-       sum(ok) AS processed, sum(1 - ok) AS failed,
+       CAST(sum(ok) AS BIGINT) AS processed, CAST(sum(1 - ok) AS BIGINT) AS failed,
        ((sum(ok) * 2000 + greatest(count(*), 1)) // (2 * greatest(count(*), 1))) / 10.0
          AS success_rate
 FROM (SELECT source AS source_id, CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS ok
@@ -769,7 +769,8 @@ WITH log AS (
 lastok AS (
   SELECT host, max(CASE WHEN success THEN fetched_rank END) AS last_ok FROM log GROUP BY host)
 SELECT log.host, count(*) AS n,
-       sum(CASE WHEN fetched_rank > COALESCE(last_ok, -1) THEN 1 ELSE 0 END) AS consecutive_failures,
+       CAST(sum(CASE WHEN fetched_rank > COALESCE(last_ok, -1) THEN 1 ELSE 0 END) AS BIGINT)
+         AS consecutive_failures,
        ((CAST(sum(CAST(elapsed_s AS DECIMAL(18,3))) * 1000 AS BIGINT) * 20 + count(*))
          // (2 * count(*))) / 10000.0 AS avg_response_s,
        sum(CASE WHEN fetched_rank > COALESCE(last_ok, -1) THEN 1 ELSE 0 END) < 3 AS healthy
@@ -981,12 +982,12 @@ WITH u AS (
 w AS (
   SELECT event_id, model, date_trunc('day', ts) AS day,
          date_trunc('month', ts) AS month, tokens,
-         COALESCE(sum(tokens) OVER (PARTITION BY model, date_trunc('day', ts)
+         CAST(COALESCE(sum(tokens) OVER (PARTITION BY model, date_trunc('day', ts)
              ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS cum_day_before,
-         COALESCE(sum(tokens) OVER (PARTITION BY model, date_trunc('month', ts)
+           AS BIGINT) AS cum_day_before,
+         CAST(COALESCE(sum(tokens) OVER (PARTITION BY model, date_trunc('month', ts)
              ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           AS cum_month_before
+           AS BIGINT) AS cum_month_before
   FROM u)
 SELECT event_id, model, day, month, tokens, cum_day_before, cum_month_before,
        cum_day_before + tokens <= {_DAILY_TOKEN_LIMIT}

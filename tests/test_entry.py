@@ -51,6 +51,18 @@ def test_query_matches_duckdb_oracle(spark, ddb, name):
         f"{name}: column mismatch {got.columns} vs {want.columns}"
     )
     assert len(got) == len(want), f"{name}: rowcount {len(got)} vs {len(want)}"
+    # The external driver hashes TYPED values: Spark int64 1 vs DuckDB
+    # HUGEINT→float64 1.0 hash-mismatch even when numerically equal.  Enforce
+    # dtype *kind* agreement (int vs float vs bool vs object) so that class of
+    # miss fails locally too (width differences like int32/int64 are fine).
+    for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        gk = "i" if gk == "u" else gk
+        wk = "i" if wk == "u" else wk
+        assert gk == wk, (
+            f"{name}.{c}: dtype kind mismatch spark={got[c].dtype} "
+            f"oracle={want[c].dtype} — cast the oracle column (driver hash is typed)"
+        )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
