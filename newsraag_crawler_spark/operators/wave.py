@@ -212,8 +212,16 @@ def run_crawl(
         wave = 0
         frontier = seeds
     waves_run = 0
+    # row count of the current frontier, from commit lineage when known.
+    # None = unknown (fresh seeds / resumed table without a count) → probe
+    # once; afterwards every frontier overwrite records its count, so the
+    # loop never issues a per-wave isEmpty() action.
+    n_frontier: int | None = None
+    if frontier_t.exists():
+        lin_rows = (frontier_t.current_lineage() or {}).get("rows")
+        n_frontier = int(lin_rows) if lin_rows is not None else None
     while wave < max_waves:
-        if frontier.isEmpty():
+        if n_frontier == 0 or (n_frontier is None and frontier.isEmpty()):
             break
         seen = seen_t.read() if seen_t.exists() else None
         out = run_scale_wave(
@@ -240,6 +248,7 @@ def run_crawl(
         frontier_t.overwrite(
             next_frontier,
             lineage={"next_wave": wave + 1, "prev_fetched": n_fetched},
+            count_rows=True,
         )
         metrics_t.append(
             spark.createDataFrame(
@@ -247,7 +256,12 @@ def run_crawl(
             ),
             lineage={"wave": wave},
         )
+        # all consumers of this wave's cached `due` have executed (corpus/
+        # seen/frontier commits) — release the blocks or they accumulate
+        # across waves (cached-block growth == the bench.py:229 disease)
+        out["_due_cached"].unpersist()
         frontier = frontier_t.read()
+        n_frontier = int((frontier_t.current_lineage() or {}).get("rows", 0))
         wave += 1
         waves_run += 1
     return {"waves_run": waves_run, "last_wave": wave - 1}
@@ -310,6 +324,8 @@ def run_scale_wave(
         "seen_additions": due.select(F.col("surt_url").alias("key")),
         "spill": spill,
         "blocked": blocked,
+        # handle for the caller to unpersist once the wave's commits are done
+        "_due_cached": due,
     }
     if links_per_page > 0:
         # deterministic synthetic link graph: page /articles/i links to

@@ -109,9 +109,11 @@ class SnapshotTable:
         base = cur["dirs"] if cur else []
         return self._write_snapshot(df, base, lineage or {}, count_rows)
 
-    def overwrite(self, df: DataFrame, lineage: dict | None = None) -> int:
+    def overwrite(
+        self, df: DataFrame, lineage: dict | None = None, count_rows: bool = False
+    ) -> int:
         """Replace table contents (compaction / rewrite)."""
-        return self._write_snapshot(df, [], lineage or {})
+        return self._write_snapshot(df, [], lineage or {}, count_rows)
 
     def delete_where(self, condition, lineage: dict | None = None) -> int:
         """Retention delete (reference K3): rewrite rows NOT matching the
@@ -126,17 +128,34 @@ class SnapshotTable:
     def rollback_where(self, pred) -> int:
         """Reset current to the latest snapshot whose lineage satisfies
         ``pred`` (or to empty if none does). Used by crash recovery to drop
-        orphaned commits from a wave whose frontier commit never landed."""
+        orphaned commits from a wave whose frontier commit never landed.
+
+        Orphaned entries with id > the new current are REMOVED from the
+        manifest (and their snap directories deleted): the next append reuses
+        sid = current + 1, and duplicate-id entries would make read()/
+        current_lineage() resolve to the stale orphan."""
         m = self._load()
+        target = 0
         for s in reversed(m["snapshots"]):
             if s["id"] <= m["current"] and pred(s["lineage"]):
-                if s["id"] != m["current"]:
-                    m["current"] = s["id"]
-                    self._commit(m)
-                return s["id"]
-        m["current"] = 0
+                target = s["id"]
+                break
+        if target == m["current"]:
+            return target
+        orphans = [s for s in m["snapshots"] if s["id"] > target]
+        m["snapshots"] = [s for s in m["snapshots"] if s["id"] <= target]
+        m["current"] = target
         self._commit(m)
-        return 0
+        # reclaim orphan data dirs AFTER the manifest commit (readers only see
+        # manifest-listed dirs, so this is pure cleanup; each snapshot's own
+        # data lives in its snap-{id} dir — earlier dirs in its list are bases)
+        import shutil
+
+        for s in orphans:
+            d = os.path.join(self.path, f"snap-{s['id']:05d}")
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+        return target
 
     def read(self, version: int | None = None) -> DataFrame:
         m = self._load()

@@ -151,3 +151,17 @@ def test_discover_links_resolves_relative_and_caps(spark):
         (0, "https://h.example.com/news/up.html"),
         (2, "https://h.example.com/news/abs"),
     ]
+
+
+def test_no_cached_block_growth_across_waves(spark, tmp_path):
+    """Each wave persists `due`; run_crawl must release it after the wave's
+    commits — cached blocks accumulating across waves is the long-crawl
+    memory leak (VERDICT r2 #5)."""
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    t = _tables(spark, tmp_path, "np")
+    run_crawl(
+        spark, _seeds(spark), _policies(spark), t,
+        max_waves=3, links_per_page=2, n_articles=N_ART,
+    )
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), f"leaked persisted RDDs: {after - before}"

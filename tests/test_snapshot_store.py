@@ -82,3 +82,25 @@ def test_delete_where_retains_null_condition_rows(spark, tmp_path):
     t.delete_where(F.col("age") > 50)
     kept = {r.k for r in t.read().collect()}
     assert kept == {1, 2}, "NULL-age row must survive a retention delete"
+
+
+def test_rollback_drops_orphaned_snapshot_entries(spark, tmp_path):
+    """rollback_where must REMOVE orphaned higher-id manifest entries: the
+    next append reuses sid = current+1, and a duplicate-id entry would make
+    read()/current_lineage() resolve to the stale orphan."""
+    t = SnapshotTable(spark, str(tmp_path / "rb"))
+    t.append(spark.range(3).withColumn("wave", F.lit(0)), lineage={"wave": 0})
+    t.append(spark.range(3, 5).withColumn("wave", F.lit(1)), lineage={"wave": 1})
+    t.append(spark.range(5, 9).withColumn("wave", F.lit(2)), lineage={"wave": 2})
+    assert t.rollback_where(lambda lin: lin["wave"] < 1) == 1
+    m = json.load(open(os.path.join(t.path, "manifest.json")))
+    assert [s["id"] for s in m["snapshots"]] == [1]
+    assert not os.path.isdir(os.path.join(t.path, "snap-00002"))
+    # re-append with the reused sid: lineage/read must resolve to the NEW entry
+    t.append(spark.range(100, 102).withColumn("wave", F.lit(1)), lineage={"wave": 1, "redo": True})
+    assert t.current_lineage() == {"wave": 1, "redo": True}
+    got = sorted(r.id for r in t.read().collect())
+    assert got == [0, 1, 2, 100, 101]
+    m = json.load(open(os.path.join(t.path, "manifest.json")))
+    ids = [s["id"] for s in m["snapshots"]]
+    assert len(ids) == len(set(ids))
