@@ -223,24 +223,56 @@ def ivf_topk(
     id) — deterministic and oracle-mirrorable; a production build would
     Lloyd-iterate it with the same relational assign/groupBy-average pattern.
 
-    Scale shape: centroids broadcast (n_cells rows); cell assignment is one
-    map-side pass over the corpus; the candidate join is an equi-join on
-    cell id — corpus rows are touched once, never a cross product. Cell
-    ranking uses round(cosine, 6) with a centroid-id tiebreak so a sub-1e-6
-    floating-point residue can't flip an assignment between engines.
+    Scale shape: centroids broadcast (n_cells rows); cell assignment is ONE
+    map-side projection over the corpus — the n_cells centroids are packed
+    into a single-row array<struct> (sorted by cell id), broadcast-nested-
+    loop joined (1 row: no corpus shuffle), and each vector takes the argmax
+    of its n_cells cosines via array_max over struct(cos, -cell) — zero
+    exchanges of corpus rows before the cell equi-join (r2 VERDICT #3: the
+    previous crossJoin+row_number shuffled 16× the corpus just to pick a
+    centroid). Cell ranking uses round(cosine, 6) with a centroid-id
+    tiebreak so a sub-1e-6 floating-point residue can't flip an assignment
+    between engines.
     """
     centroids = (
         corpus.filter(F.col(id_col) < n_cells)
         .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
     )
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.round(F.col("_ccos"), 6).desc(), F.col("cell")
+    # one row: array of (cell, cvec, |cvec|) sorted by cell id — the whole
+    # quantizer codebook crosses the wire once per task, not once per row
+    cent_row = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cell"), F.col("cvec"), _norm(F.col("cvec")).alias("cnorm")
+                )
+            )
+        ).alias("_cents")
     )
+    # argmax by struct ordering: larger rounded cosine wins; tie → smaller
+    # cell id (negated so struct max == cell min), matching the oracle's
+    # ORDER BY round(cos,6) DESC, cell
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.round(
+                    _dot(F.col(vec_col), c["cvec"])
+                    / (F.col("_vnorm") * c["cnorm"]),
+                    6,
+                ).alias("c"),
+                (-c["cell"]).alias("nc"),
+            ),
+        )
+    )
+    # coalesce(-nc, -1) is the identity (argmax of a non-empty array is never
+    # null) but makes `cell` NON-NULLABLE, so the inner join adds no
+    # isnotnull(cell) constraint — Catalyst would substitute the whole argmax
+    # expression into that predicate and evaluate it twice more per row
     assigned = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .withColumn("_ccos", cosine_sim(F.col(vec_col), F.col("cvec")))
-        .withColumn("_cr", F.row_number().over(w_assign))
-        .filter(F.col("_cr") == 1)
+        corpus.crossJoin(F.broadcast(cent_row))
+        .withColumn("_vnorm", _norm(F.col(vec_col)))
+        .withColumn("cell", F.coalesce(-best["nc"], F.lit(-1)))
         .select(id_col, vec_col, "cell")
     )
     w_probe = Window.partitionBy(qid_col).orderBy(
@@ -251,7 +283,11 @@ def ivf_topk(
         .withColumn("_qcos", cosine_sim(F.col(qvec_col), F.col("cvec")))
         .withColumn("_qr", F.row_number().over(w_probe))
         .filter(F.col("_qr") <= n_probe)
-        .select(qid_col, qvec_col, "cell")
+        # identity coalesce: strips the `cell < n_cells` constraint inherited
+        # from the centroid filter — otherwise constraint propagation pushes
+        # `cell < n_cells` onto the corpus side, substituting (and
+        # re-evaluating) the full argmax expression inside the join condition
+        .select(qid_col, qvec_col, F.coalesce(F.col("cell"), F.lit(-1)).alias("cell"))
     )
     cand = assigned.join(F.broadcast(probes), "cell")
     scored = cand.select(

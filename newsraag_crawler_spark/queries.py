@@ -1665,8 +1665,14 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine inside probed cells — fully relational and oracle-mirrored."""
     from .operators.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    # round-robin split of the single local parquet file: the assignment is
+    # now a pure map-side argmax (no exchanges of its own), so scan
+    # parallelism is the ONLY parallelism — a real multi-file/100TB table
+    # gets this from its input splits for free
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")

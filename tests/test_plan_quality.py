@@ -151,3 +151,16 @@ def test_extraction_scalars_pure_jvm_no_shuffle(spark):
         p = _plan(q(spark, SF), mode="simple")
         assert "PythonUDF" not in p and "ArrowEvalPython" not in p, (q, p)
         assert "Exchange" not in p, (q, p)
+
+
+def test_ivf_assignment_is_map_side(spark):
+    """IVF cell assignment must not shuffle the corpus: the codebook is a
+    one-row broadcast array and the argmax is a projection, so the only
+    hashpartitioning exchanges in the whole query serve the final per-query
+    top-k window / dedup — never a partitionBy(vec_id) of 16× corpus rows
+    (r2 VERDICT #3)."""
+    from newsraag_crawler_spark.queries import q_ivf_ann
+
+    p = _plan(q_ivf_ann(spark, SF), mode="simple")
+    assert "hashpartitioning(vec_id" not in p, p
+    assert "CartesianProduct" not in p, p
