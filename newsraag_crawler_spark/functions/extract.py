@@ -54,12 +54,17 @@ _TZ_TAIL = r"\s+\w{2,4}$"  # trailing timezone abbreviation to drop
 def _spark_dt(ext: Column, fmt: str, drop_tz: bool) -> Column:
     s = F.regexp_replace(ext, _TZ_TAIL, "") if drop_tz else ext
     s = F.regexp_replace(s, r"\.", "")  # month-abbreviation dot ("Oct.")
-    return F.to_timestamp(s, fmt)
+    # try_to_timestamp, NOT to_timestamp: Spark 4 ANSI mode makes a failed
+    # parse ABORT THE JOB, but a loose regex match can be unparseable
+    # ("Markets on 13/45/2024", "January 99, 2024") — the reference's
+    # try/except chain (rss_template.py:186-264) falls through to the next
+    # pattern instead; one bad page must not kill a crawl.
+    return F.try_to_timestamp(s, F.lit(fmt))
 
 
 def _duck_dt(ext: str, fmt: str, drop_tz: bool) -> str:
     s = f"regexp_replace({ext}, '{_TZ_TAIL}', '')" if drop_tz else ext
-    return f"strptime(replace({s}, '.', ''), '{fmt}')"
+    return f"try_strptime(replace({s}, '.', ''), '{fmt}')"
 
 
 def fuzzy_published_ts(content: Column | str, title: Column | str) -> tuple[Column, Column]:
@@ -80,7 +85,7 @@ def fuzzy_published_ts(content: Column | str, title: Column | str) -> tuple[Colu
     p4 = F.when(e4 != "", _spark_dt(e4, "MMM dd, yyyy, hh:mm a", drop_tz=False))
     p5 = F.when(
         e5 != "",
-        F.when(e5.contains("/"), F.to_timestamp(e5, "MM/dd/yyyy")).otherwise(
+        F.when(e5.contains("/"), F.try_to_timestamp(e5, F.lit("MM/dd/yyyy"))).otherwise(
             _spark_dt(e5, "MMM dd, yyyy", drop_tz=False)
         ),
     )
@@ -109,7 +114,7 @@ def fuzzy_published_ts_sql(content: str, title: str) -> tuple[str, str]:
     p4 = f"CASE WHEN {e4} <> '' THEN {_duck_dt(e4, '%b %d, %Y, %I:%M %p', False)} END"
     p5 = (
         f"CASE WHEN {e5} <> '' THEN (CASE WHEN contains({e5}, '/') "
-        f"THEN strptime({e5}, '%m/%d/%Y') ELSE {_duck_dt(e5, '%b %d, %Y', False)} END) END"
+        f"THEN try_strptime({e5}, '%m/%d/%Y') ELSE {_duck_dt(e5, '%b %d, %Y', False)} END) END"
     )
     ts = f"COALESCE({p1}, {p2}, {p3}, {p4}, {p5}, TIMESTAMP '{FUZZY_FALLBACK}')"
     pat = (
@@ -140,8 +145,11 @@ def html_published_ts(html: Column | str) -> tuple[Column, Column]:
         ("meta_published", F.regexp_extract(h, "(?i)" + HTML_META_PUBLISHED, 1)),
         ("meta_date", F.regexp_extract(h, "(?i)" + HTML_META_DATE, 1)),
     ]
+    # try_to_timestamp: real pages carry tz-offset or date-only datetime
+    # attrs that this ISO format rejects — fall through, never abort (ANSI)
     parsed = [
-        (name, F.when(e != "", F.to_timestamp(e, _ISO_FMT_SPARK))) for name, e in exts
+        (name, F.when(e != "", F.try_to_timestamp(e, F.lit(_ISO_FMT_SPARK))))
+        for name, e in exts
     ]
     ts = F.coalesce(*[p for _, p in parsed], F.lit(FUZZY_FALLBACK).cast("timestamp"))
     rule = F.lit("fallback")
@@ -158,7 +166,9 @@ def html_published_ts_sql(html: str) -> tuple[str, str]:
         ("meta_date", HTML_META_DATE),
     ):
         e = f"regexp_extract({html}, '(?i){pat}', 1)"
-        parts.append((name, f"CASE WHEN {e} <> '' THEN strptime({e}, '{_ISO_FMT_DUCK}') END"))
+        parts.append(
+            (name, f"CASE WHEN {e} <> '' THEN try_strptime({e}, '{_ISO_FMT_DUCK}') END")
+        )
     ts = "COALESCE(" + ", ".join(p for _, p in parts) + f", TIMESTAMP '{FUZZY_FALLBACK}')"
     rule = (
         "CASE "

@@ -653,19 +653,27 @@ def _fuzzy_raw_cols(ev: DataFrame) -> DataFrame:
         F.lit(", "), F.date_format("ts", "yyyy"),
     )
     raw = (
-        F.when(F.pmod("event_id", F.lit(6)) == 0, F.concat(F.lit("Date: "), nbc, F.lit(" EDT")))
-        .when(F.pmod("event_id", F.lit(6)) == 1, F.concat(F.lit("Updated "), nbc, F.lit(" EST")))
-        .when(F.pmod("event_id", F.lit(6)) == 2, F.concat(F.lit("Date: "), simple))
+        F.when(F.pmod("event_id", F.lit(8)) == 0, F.concat(F.lit("Date: "), nbc, F.lit(" EDT")))
+        .when(F.pmod("event_id", F.lit(8)) == 1, F.concat(F.lit("Updated "), nbc, F.lit(" EST")))
+        .when(F.pmod("event_id", F.lit(8)) == 2, F.concat(F.lit("Date: "), simple))
         .when(
-            F.pmod("event_id", F.lit(6)) == 3,
+            F.pmod("event_id", F.lit(8)) == 3,
             F.concat(F.lit("Published "), nbc, F.lit(" by staff")),
         )
+        # regex-matches FUZZY_P3 but day 45 is unparseable: the try_* parse
+        # must fall through to the next pattern / fallback, not abort (ANSI)
+        .when(F.pmod("event_id", F.lit(8)) == 6, F.lit("Date: Dec. 45, 2024"))
         .otherwise(F.lit("no date in this content"))
     )
-    title = F.when(
-        F.pmod("event_id", F.lit(6)) == 4,
-        F.concat(F.lit("Markets on "), F.date_format("ts", "MM/dd/yyyy"), F.lit(" rally")),
-    ).otherwise(F.concat(F.lit("T"), F.col("event_id").cast("string")))
+    title = (
+        F.when(
+            F.pmod("event_id", F.lit(8)) == 4,
+            F.concat(F.lit("Markets on "), F.date_format("ts", "MM/dd/yyyy"), F.lit(" rally")),
+        )
+        # matches FUZZY_P5 but month 13 is unparseable — same fall-through
+        .when(F.pmod("event_id", F.lit(8)) == 5, F.lit("Markets on 13/45/2024 rally"))
+        .otherwise(F.concat(F.lit("T"), F.col("event_id").cast("string")))
+    )
     return ev.select("event_id", raw.alias("raw_text"), title.alias("title"))
 
 
@@ -695,12 +703,14 @@ def _sql_fuzzy_date() -> str:
     return f"""
 WITH raw AS (
   SELECT event_id,
-    CASE WHEN event_id % 6 = 0 THEN 'Date: ' || {nbc} || ' EDT'
-         WHEN event_id % 6 = 1 THEN 'Updated ' || {nbc} || ' EST'
-         WHEN event_id % 6 = 2 THEN 'Date: ' || {simple}
-         WHEN event_id % 6 = 3 THEN 'Published ' || {nbc} || ' by staff'
+    CASE WHEN event_id % 8 = 0 THEN 'Date: ' || {nbc} || ' EDT'
+         WHEN event_id % 8 = 1 THEN 'Updated ' || {nbc} || ' EST'
+         WHEN event_id % 8 = 2 THEN 'Date: ' || {simple}
+         WHEN event_id % 8 = 3 THEN 'Published ' || {nbc} || ' by staff'
+         WHEN event_id % 8 = 6 THEN 'Date: Dec. 45, 2024'
          ELSE 'no date in this content' END AS raw_text,
-    CASE WHEN event_id % 6 = 4 THEN 'Markets on ' || strftime(ts, '%m/%d/%Y') || ' rally'
+    CASE WHEN event_id % 8 = 4 THEN 'Markets on ' || strftime(ts, '%m/%d/%Y') || ' rally'
+         WHEN event_id % 8 = 5 THEN 'Markets on 13/45/2024 rally'
          ELSE 'T' || event_id::VARCHAR END AS title
   FROM events)
 SELECT event_id, raw_text, title,
@@ -1135,19 +1145,26 @@ def q_html_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
     html = (
         F.when(
-            F.pmod("event_id", F.lit(4)) == 0,
+            F.pmod("event_id", F.lit(5)) == 0,
             F.concat(F.lit('<article><time datetime="'), iso, F.lit('">x</time></article>')),
         )
         .when(
-            F.pmod("event_id", F.lit(4)) == 1,
+            F.pmod("event_id", F.lit(5)) == 1,
             F.concat(
                 F.lit('<head><meta property="article:published_time" content="'),
                 iso, F.lit('"/></head>'),
             ),
         )
         .when(
-            F.pmod("event_id", F.lit(4)) == 2,
+            F.pmod("event_id", F.lit(5)) == 2,
             F.concat(F.lit('<head><meta name="date" content="'), iso, F.lit('"/></head>')),
+        )
+        # date-only datetime attr — real HTML commonly has it; the strict
+        # ISO format rejects it, and try_to_timestamp must fall through to
+        # the fallback instead of aborting the job (ANSI mode)
+        .when(
+            F.pmod("event_id", F.lit(5)) == 3,
+            F.lit('<article><time datetime="2024-07-04">x</time></article>'),
         )
         .otherwise(F.lit("<p>no date</p>"))
     )
@@ -1164,9 +1181,10 @@ def _sql_html_date_extract() -> str:
     return f"""
 WITH h AS (
   SELECT event_id,
-    CASE WHEN event_id % 4 = 0 THEN '<article><time datetime="' || {iso} || '">x</time></article>'
-         WHEN event_id % 4 = 1 THEN '<head><meta property="article:published_time" content="' || {iso} || '"/></head>'
-         WHEN event_id % 4 = 2 THEN '<head><meta name="date" content="' || {iso} || '"/></head>'
+    CASE WHEN event_id % 5 = 0 THEN '<article><time datetime="' || {iso} || '">x</time></article>'
+         WHEN event_id % 5 = 1 THEN '<head><meta property="article:published_time" content="' || {iso} || '"/></head>'
+         WHEN event_id % 5 = 2 THEN '<head><meta name="date" content="' || {iso} || '"/></head>'
+         WHEN event_id % 5 = 3 THEN '<article><time datetime="2024-07-04">x</time></article>'
          ELSE '<p>no date</p>' END AS html
   FROM events)
 SELECT event_id, {rule} AS date_rule, {ts} AS published_ts FROM h
