@@ -126,6 +126,52 @@ def fuzzy_published_ts_sql(content: str, title: str) -> tuple[str, str]:
 
 
 # ---------------------------------------------------------------------------
+# C6 — structured date parse (feedparser's published_parsed path)
+# ---------------------------------------------------------------------------
+# The reference's COMMON case: feedparser hands back a parsed struct_time →
+# epoch (`rss_template.py:140-152`); only when that is absent does the fuzzy
+# chain run. Relationally the struct path is (a) an RFC-822 pubDate string,
+# (b) a raw epoch-seconds string; both tried AHEAD of the fuzzy chain.
+
+# formatting side (fixture synthesis); Spark can FORMAT 'EEE' but not parse
+# it (day-of-week is a format-only field under the CORRECTED time parser),
+# so the parse side strips the weekday prefix and uses the _PARSE formats
+RFC822_FMT_SPARK = "EEE, dd MMM yyyy HH:mm:ss"
+RFC822_FMT_DUCK = "%a, %d %b %Y %H:%M:%S"
+RFC822_PARSE_SPARK = "dd MMM yyyy HH:mm:ss"
+RFC822_PARSE_DUCK = "%d %b %Y %H:%M:%S"
+_RFC822_DOW_HEAD = r"^[A-Za-z]{3},\s*"
+_RFC822_TZ_TAIL = r"\s+(GMT|UTC|[+-]\d{4})$"
+_EPOCH_SHAPE = r"^\d{9,11}$"
+
+
+def structured_ts(pub: Column | str) -> Column:
+    """RFC-822 pubDate or epoch-seconds string → timestamp (NULL on neither:
+    the caller coalesces the fuzzy chain behind this)."""
+    p = F.trim(_c(pub))
+    stripped = F.regexp_replace(
+        F.regexp_replace(p, _RFC822_DOW_HEAD, ""), _RFC822_TZ_TAIL, ""
+    )
+    rfc = F.try_to_timestamp(stripped, F.lit(RFC822_PARSE_SPARK))
+    epoch = F.when(p.rlike(_EPOCH_SHAPE), F.timestamp_seconds(p.cast("long")))
+    return F.coalesce(rfc, epoch)
+
+
+def structured_ts_sql(pub: str) -> str:
+    p = f"trim({pub})"
+    stripped = (
+        f"regexp_replace(regexp_replace({p}, '{_RFC822_DOW_HEAD}', ''), "
+        f"'{_RFC822_TZ_TAIL}', '')"
+    )
+    rfc = f"try_strptime({stripped}, '{RFC822_PARSE_DUCK}')"
+    epoch = (
+        f"CASE WHEN regexp_matches({p}, '{_EPOCH_SHAPE}') "
+        f"THEN TIMESTAMP '1970-01-01 00:00:00' + {p}::BIGINT * INTERVAL 1 SECOND END"
+    )
+    return f"COALESCE({rfc}, {epoch})"
+
+
+# ---------------------------------------------------------------------------
 # C8 — HTML date extraction (time[datetime] → article:published_time → meta)
 # ---------------------------------------------------------------------------
 

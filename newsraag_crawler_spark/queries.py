@@ -1254,48 +1254,270 @@ SELECT feed_id, {rep} AS repaired, {rep} <> raw AS was_modified FROM feeds
 # strategy-1 "feedparser" accepts only feeds with no repair-needing constructs
 _RSS_SHAPE = "(?s)<rss.*</rss>"
 _NEEDS_REPAIR = "<br>|<hr>|<img>"
+_ITEM_BLOCK = "(?s)<item>(.*?)</item>"
 _ITEM_TITLE = "<title>([^<]*)</title>"
 _ITEM_LINK = "<link>([^<]*)</link>"
+_ITEM_AUTHOR = "<author>([^<]*)</author>"
+_ITEM_CATEGORY = "<category>([^<]*)</category>"
+_ITEM_PUBDATE = "<pubDate>([^<]*)</pubDate>"
 _HTML_HREF = '(?i)<a[^>]*href="([^"]+)"'
+
+
+def _synth_multifeed_xml(d: DataFrame) -> DataFrame:
+    """MULTI-item feed fixture — the real-world data shape (a feed has
+    10-100 entries, `rss_template.py:93-129` projects every one;
+    `rss_extractor.py:56` caps at entries[:max]). 1 + doc_id%3 items per
+    feed; four feed classes (valid / repairable / HTML page / garbage);
+    per-item pubDate rotates RFC-822 / epoch-seconds / malformed so the C6
+    structured→fuzzy coalesce order is exercised."""
+    from .functions.extract import RFC822_FMT_SPARK
+
+    i = F.col("doc_id").cast("string")
+    host = F.concat(
+        F.lit("h"), F.pmod("doc_id", F.lit(7)).cast("string"), F.lit(".example.com")
+    )
+    n_items = F.pmod("doc_id", F.lit(3)) + F.lit(1)
+
+    def item(k: int, broken: bool):
+        ts_k = F.expr(
+            "timestamp'2024-01-01 00:00:00' + "
+            f"make_interval(0, 0, 0, CAST(doc_id % 365 AS INT), {k}, 0, 0)"
+        )
+        # mod 3 (not 4): feed class is doc_id%4, so a mod-4 rotation would
+        # never yield a malformed pubDate within the first two items of a
+        # valid/broken feed — mod 3 makes rfc/epoch/malformed all occur
+        mod = F.pmod(F.col("doc_id") + F.lit(k), F.lit(3))
+        title = F.when(
+            mod == 2,
+            F.concat(F.lit("T"), i, F.lit(" on "), F.date_format(ts_k, "MM/dd/yyyy")),
+        ).otherwise(F.concat(F.lit("T"), i, F.lit(f"x{k}")))
+        pub = (
+            F.when(mod == 2, F.lit("yesterday"))
+            .when(mod == 1, F.unix_timestamp(ts_k).cast("string"))
+            .otherwise(F.concat(F.date_format(ts_k, RFC822_FMT_SPARK), F.lit(" GMT")))
+        )
+        return F.concat(
+            F.lit("<item><title>"), title, F.lit("</title>"),
+            F.lit("<br>" if broken else ""),
+            F.lit("<link>https://"), host, F.lit("/a/"), i, F.lit(f"/{k}"),
+            F.lit("</link><author>auth"),
+            F.pmod(F.col("doc_id") + F.lit(k), F.lit(5)).cast("string"),
+            F.lit("</author><category>cat"),
+            F.pmod(F.col("doc_id") + F.lit(k), F.lit(3)).cast("string"),
+            F.lit("</category><pubDate>"), pub, F.lit("</pubDate></item>"),
+        )
+
+    def items(broken: bool):
+        blocks = item(0, broken)
+        for k in (1, 2):
+            blocks = F.concat(
+                blocks, F.when(n_items > k, item(k, broken)).otherwise(F.lit(""))
+            )
+        return blocks
+
+    valid = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?><rss><channel>'),
+        items(False), F.lit("</channel></rss>"),
+    )
+    broken_f = F.concat(
+        F.lit('<?xml version="1.0" encoding="utf-8" standalone="yes"?>  <rss><channel>'),
+        items(True), F.lit("</channel></rss>"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://'), host, F.lit("/c/"), i,
+        F.lit('/0">A</a><a href="https://'), host, F.lit("/c/"), i,
+        F.lit('/1">B</a></body></html>'),
+    )
+    feed = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, valid)
+        .when(F.pmod("doc_id", F.lit(4)) == 1, broken_f)
+        .when(F.pmod("doc_id", F.lit(4)) == 2, html)
+        .otherwise(F.lit("not xml at all"))
+    )
+    return d.select(F.col("doc_id").alias("feed_id"), feed.alias("raw"))
+
+
+def _sql_multifeed() -> str:
+    from .functions.extract import RFC822_FMT_DUCK
+
+    def ts_k(k: int) -> str:
+        return (
+            "(TIMESTAMP '2024-01-01 00:00:00' + (doc_id % 365) * INTERVAL 1 DAY"
+            f" + {k} * INTERVAL 1 HOUR)"
+        )
+
+    def item(k: int, broken: bool) -> str:
+        t = ts_k(k)
+        title = (
+            f"CASE WHEN (doc_id + {k}) % 3 = 2 THEN 'T' || doc_id::VARCHAR || ' on ' || "
+            f"strftime({t}, '%m/%d/%Y') ELSE 'T' || doc_id::VARCHAR || 'x{k}' END"
+        )
+        pub = (
+            f"CASE WHEN (doc_id + {k}) % 3 = 2 THEN 'yesterday' "
+            f"WHEN (doc_id + {k}) % 3 = 1 THEN "
+            f"date_diff('second', TIMESTAMP '1970-01-01 00:00:00', {t})::VARCHAR "
+            f"ELSE strftime({t}, '{RFC822_FMT_DUCK}') || ' GMT' END"
+        )
+        br = "<br>" if broken else ""
+        return (
+            f"'<item><title>' || ({title}) || '</title>{br}<link>https://' || host || "
+            f"'/a/' || doc_id::VARCHAR || '/{k}</link><author>auth' || "
+            f"((doc_id + {k}) % 5)::VARCHAR || '</author><category>cat' || "
+            f"((doc_id + {k}) % 3)::VARCHAR || '</category><pubDate>' || ({pub}) || "
+            f"'</pubDate></item>'"
+        )
+
+    def items(broken: bool) -> str:
+        s = f"({item(0, broken)})"
+        for k in (1, 2):
+            s += f" || CASE WHEN (doc_id % 3) + 1 > {k} THEN ({item(k, broken)}) ELSE '' END"
+        return s
+
+    valid = (
+        "'<?xml version=\"1.0\" encoding=\"UTF-8\"?><rss><channel>' || "
+        f"{items(False)} || '</channel></rss>'"
+    )
+    broken_f = (
+        "'<?xml version=\"1.0\" encoding=\"utf-8\" standalone=\"yes\"?>  <rss><channel>' || "
+        f"{items(True)} || '</channel></rss>'"
+    )
+    html = (
+        "'<html><body><a href=\"https://' || host || '/c/' || doc_id::VARCHAR || "
+        "'/0\">A</a><a href=\"https://' || host || '/c/' || doc_id::VARCHAR || "
+        "'/1\">B</a></body></html>'"
+    )
+    return f"""
+SELECT doc_id AS feed_id,
+  CASE WHEN doc_id % 4 = 0 THEN {valid}
+       WHEN doc_id % 4 = 1 THEN {broken_f}
+       WHEN doc_id % 4 = 2 THEN {html}
+       ELSE 'not xml at all' END AS raw
+FROM (SELECT doc_id, 'h' || (doc_id % 7)::VARCHAR || '.example.com' AS host
+      FROM documents)
+"""
+
+
+def q_rss_items(spark: SparkSession, sf_dir: str, max_items: int = 2) -> DataFrame:
+    """S3/S4 + P1/P2 + C6: multi-item RSS scan — every <item> of every
+    feed-shaped page becomes a row (reference yields each entry,
+    `rss_template.py:93-129`), capped at entries[:max_items]
+    (`rss_extractor.py:56` — the cap binds: feeds carry up to 3 items).
+    Per-entry projection: title/link/author/category (P1) plus the C6
+    STRUCTURED date path (RFC-822 pubDate or epoch seconds,
+    `rss_template.py:140-152`) coalesced AHEAD of the C7 fuzzy chain."""
+    from .functions.extract import fuzzy_published_ts, structured_ts, xml_repair
+
+    d = _synth_multifeed_xml(_docs(spark, sf_dir))
+    src = F.when(
+        F.col("raw").rlike(_NEEDS_REPAIR), xml_repair("raw")
+    ).otherwise(F.col("raw"))
+    feeds = d.filter(F.col("raw").rlike(_RSS_SHAPE)).select(
+        "feed_id", src.alias("xml")
+    )
+    items = feeds.select(
+        "feed_id",
+        F.posexplode(
+            F.regexp_extract_all("xml", F.lit(_ITEM_BLOCK), F.lit(1))
+        ).alias("item_rank", "item_xml"),
+    ).filter(F.col("item_rank") < max_items)
+    title = F.regexp_extract("item_xml", _ITEM_TITLE, 1)
+    pub = F.regexp_extract("item_xml", _ITEM_PUBDATE, 1)
+    st = structured_ts(pub)
+    fz, fpat = fuzzy_published_ts(F.col("item_xml"), title)
+    return items.select(
+        "feed_id",
+        "item_rank",
+        title.alias("title"),
+        F.regexp_extract("item_xml", _ITEM_LINK, 1).alias("link"),
+        F.regexp_extract("item_xml", _ITEM_AUTHOR, 1).alias("author"),
+        F.regexp_extract("item_xml", _ITEM_CATEGORY, 1).alias("category"),
+        F.coalesce(st, fz).alias("published_ts"),
+        F.when(st.isNotNull(), F.lit("structured"))
+        .otherwise(F.concat(F.lit("fuzzy_p"), fpat.cast("string")))
+        .alias("date_path"),
+    )
+
+
+def _sql_rss_items() -> str:
+    from .functions.extract import (
+        fuzzy_published_ts_sql,
+        structured_ts_sql,
+        xml_repair_sql,
+    )
+
+    rep = xml_repair_sql("raw")
+    pub = f"regexp_extract(item_xml, '{_ITEM_PUBDATE}', 1)"
+    title = f"regexp_extract(item_xml, '{_ITEM_TITLE}', 1)"
+    st = structured_ts_sql(pub)
+    fz, fpat = fuzzy_published_ts_sql("item_xml", title)
+    return f"""
+WITH feeds AS ({_sql_multifeed()}),
+rss AS (
+  SELECT feed_id,
+         CASE WHEN regexp_matches(raw, '{_NEEDS_REPAIR}') THEN {rep} ELSE raw END AS xml
+  FROM feeds WHERE regexp_matches(raw, '{_RSS_SHAPE}')),
+ex AS (SELECT feed_id, regexp_extract_all(xml, '{_ITEM_BLOCK}', 1) AS items FROM rss),
+it AS (SELECT feed_id, k::INT AS item_rank, items[k + 1] AS item_xml
+       FROM ex, unnest(range(0, least(len(items), 2))) AS t(k))
+SELECT feed_id, item_rank, {title} AS title,
+  regexp_extract(item_xml, '{_ITEM_LINK}', 1) AS link,
+  regexp_extract(item_xml, '{_ITEM_AUTHOR}', 1) AS author,
+  regexp_extract(item_xml, '{_ITEM_CATEGORY}', 1) AS category,
+  COALESCE({st}, {fz}) AS published_ts,
+  CASE WHEN ({st}) IS NOT NULL THEN 'structured'
+       ELSE 'fuzzy_p' || ({fpat})::VARCHAR END AS date_path
+FROM it
+"""
 
 
 def q_robust_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5: the robust-parser 3-strategy fallback chain with a QUARANTINE
     column — feedparser-shape parse → XML-repair parse → HTML link fallback
-    → error row (robust_rss_parser.py:35-137). Errors become data, not
-    exceptions: rows that defeat every strategy carry the error string."""
+    → error row (robust_rss_parser.py:35-137). Emits EVERY item of the
+    winning strategy (multi-item, like the reference's row lists); errors
+    become data, not exceptions: rows that defeat every strategy carry the
+    error string."""
     from .functions.extract import xml_repair
 
-    d = _synth_feed_xml(_docs(spark, sf_dir))
+    d = _synth_multifeed_xml(_docs(spark, sf_dir))
     looks_rss = F.col("raw").rlike(_RSS_SHAPE)
-    clean_rss = looks_rss & ~F.col("raw").rlike(_NEEDS_REPAIR)
-    repaired = xml_repair("raw")
+    needs_repair = F.col("raw").rlike(_NEEDS_REPAIR)
     looks_html = F.col("raw").rlike("(?i)<html")
-
-    s1_title = F.when(clean_rss, F.regexp_extract("raw", _ITEM_TITLE, 1))
-    s2_title = F.when(looks_rss, F.regexp_extract(repaired, _ITEM_TITLE, 1))
-    s3_link = F.when(looks_html, F.regexp_extract("raw", _HTML_HREF, 1))
+    raw_items = F.regexp_extract_all("raw", F.lit(_ITEM_BLOCK), F.lit(1))
+    rep_items = F.regexp_extract_all(
+        xml_repair("raw"), F.lit(_ITEM_BLOCK), F.lit(1)
+    )
+    hrefs = F.regexp_extract_all("raw", F.lit(_HTML_HREF), F.lit(1))
 
     strategy = (
-        F.when(s1_title.isNotNull() & (s1_title != ""), F.lit("feedparser"))
-        .when(s2_title.isNotNull() & (s2_title != ""), F.lit("xml_repair"))
-        .when(s3_link.isNotNull() & (s3_link != ""), F.lit("html_fallback"))
+        F.when(looks_rss & ~needs_repair & (F.size(raw_items) > 0), F.lit("feedparser"))
+        .when(looks_rss & (F.size(rep_items) > 0), F.lit("xml_repair"))
+        .when(looks_html & (F.size(hrefs) > 0), F.lit("html_fallback"))
         .otherwise(F.lit(None).cast("string"))
     )
-    title = F.when(strategy == "feedparser", s1_title).when(
-        strategy == "xml_repair", s2_title
+    arr = (
+        F.when(strategy == "feedparser", raw_items)
+        .when(strategy == "xml_repair", rep_items)
+        .when(strategy == "html_fallback", hrefs)
+        .otherwise(F.array(F.lit("")))  # one quarantine row per dead feed
     )
-    link = (
-        F.when(strategy == "feedparser", F.regexp_extract("raw", _ITEM_LINK, 1))
-        .when(strategy == "xml_repair", F.regexp_extract(repaired, _ITEM_LINK, 1))
-        .when(strategy == "html_fallback", s3_link)
+    exploded = d.select(
+        "feed_id",
+        strategy.alias("strategy"),
+        F.posexplode(arr).alias("item_rank", "item"),
     )
-    error = F.when(
-        strategy.isNull(), F.lit("All parsing strategies failed")
-    ).otherwise(F.lit(None).cast("string"))
-    return d.select(
-        "feed_id", strategy.alias("strategy"), title.alias("first_title"),
-        link.alias("first_link"), error.alias("error"),
+    is_rss = F.col("strategy").isin("feedparser", "xml_repair")
+    return exploded.select(
+        "feed_id",
+        "item_rank",
+        "strategy",
+        F.when(is_rss, F.regexp_extract("item", _ITEM_TITLE, 1)).alias("title"),
+        F.when(is_rss, F.regexp_extract("item", _ITEM_LINK, 1))
+        .when(F.col("strategy") == "html_fallback", F.col("item"))
+        .alias("link"),
+        F.when(
+            F.col("strategy").isNull(), F.lit("All parsing strategies failed")
+        ).alias("error"),
     )
 
 
@@ -1304,34 +1526,38 @@ def _sql_robust_parse() -> str:
 
     rep = xml_repair_sql("raw")
     return f"""
-WITH feeds AS ({_SYNTH_FEED_DUCK}),
+WITH feeds AS ({_sql_multifeed()}),
 c AS (
-  SELECT feed_id, raw, {rep} AS repaired,
+  SELECT feed_id,
          regexp_matches(raw, '{_RSS_SHAPE}') AS looks_rss,
          regexp_matches(raw, '{_NEEDS_REPAIR}') AS needs_repair,
-         regexp_matches(raw, '(?i)<html') AS looks_html
+         regexp_matches(raw, '(?i)<html') AS looks_html,
+         regexp_extract_all(raw, '{_ITEM_BLOCK}', 1) AS raw_items,
+         regexp_extract_all({rep}, '{_ITEM_BLOCK}', 1) AS rep_items,
+         regexp_extract_all(raw, '{_HTML_HREF}', 1) AS hrefs
   FROM feeds),
-s AS (
-  SELECT feed_id, raw, repaired, looks_html,
-    CASE WHEN looks_rss AND NOT needs_repair THEN regexp_extract(raw, '{_ITEM_TITLE}', 1) END AS s1_title,
-    CASE WHEN looks_rss THEN regexp_extract(repaired, '{_ITEM_TITLE}', 1) END AS s2_title,
-    CASE WHEN looks_html THEN regexp_extract(raw, '{_HTML_HREF}', 1) END AS s3_link
-  FROM c),
 t AS (
   SELECT *,
-    CASE WHEN s1_title IS NOT NULL AND s1_title <> '' THEN 'feedparser'
-         WHEN s2_title IS NOT NULL AND s2_title <> '' THEN 'xml_repair'
-         WHEN s3_link IS NOT NULL AND s3_link <> '' THEN 'html_fallback'
+    CASE WHEN looks_rss AND NOT needs_repair AND len(raw_items) > 0 THEN 'feedparser'
+         WHEN looks_rss AND len(rep_items) > 0 THEN 'xml_repair'
+         WHEN looks_html AND len(hrefs) > 0 THEN 'html_fallback'
          END AS strategy
-  FROM s)
-SELECT feed_id, strategy,
-  CASE WHEN strategy = 'feedparser' THEN s1_title
-       WHEN strategy = 'xml_repair' THEN s2_title END AS first_title,
-  CASE WHEN strategy = 'feedparser' THEN regexp_extract(raw, '{_ITEM_LINK}', 1)
-       WHEN strategy = 'xml_repair' THEN regexp_extract(repaired, '{_ITEM_LINK}', 1)
-       WHEN strategy = 'html_fallback' THEN s3_link END AS first_link,
+  FROM c),
+a AS (
+  SELECT feed_id, strategy,
+    CASE strategy WHEN 'feedparser' THEN raw_items
+                  WHEN 'xml_repair' THEN rep_items
+                  WHEN 'html_fallback' THEN hrefs
+                  ELSE [''] END AS arr
+  FROM t)
+SELECT feed_id, k::INT AS item_rank, strategy,
+  CASE WHEN strategy IN ('feedparser', 'xml_repair')
+       THEN regexp_extract(arr[k + 1], '{_ITEM_TITLE}', 1) END AS title,
+  CASE WHEN strategy IN ('feedparser', 'xml_repair')
+       THEN regexp_extract(arr[k + 1], '{_ITEM_LINK}', 1)
+       WHEN strategy = 'html_fallback' THEN arr[k + 1] END AS link,
   CASE WHEN strategy IS NULL THEN 'All parsing strategies failed' END AS error
-FROM t
+FROM a, unnest(range(0, len(arr))) AS t(k)
 """
 
 
@@ -1851,6 +2077,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_date_extract": q_html_date_extract,
         "xml_repair": q_xml_repair,
         "robust_parse_quarantine": q_robust_parse,
+        "rss_items_parse": q_rss_items,
         "reference_schedule": q_reference_schedule,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -1901,6 +2128,7 @@ def oracles() -> dict[str, str]:
         "html_date_extract": _sql_html_date_extract(),
         "xml_repair": _sql_xml_repair(),
         "robust_parse_quarantine": _sql_robust_parse(),
+        "rss_items_parse": _sql_rss_items(),
         "reference_schedule": _sql_reference_schedule(),
         "dedup_exact": _sql_dedup_exact(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),

@@ -95,4 +95,7 @@ def _ship_package(spark: SparkSession) -> None:
 
 def ensure_shipped(spark: SparkSession) -> None:
     """Public alias used by driver-facing entry points."""
+    # timestamp determinism: epoch/struct date paths render through the
+    # session time zone; pin UTC even when the caller built its own session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     _ship_package(spark)
