@@ -40,6 +40,39 @@ def cycle_stats(attempted: DataFrame) -> DataFrame:
     )
 
 
+def dup_detector_stats(
+    checks: DataFrame, key: str = "key", group: str = "source_id"
+) -> DataFrame:
+    """A6 dup-detector stats (reference duplicate_detector.py:68-97):
+    cache hits/misses, hit-rate and duplicate-rate per group + rollup line.
+
+    A 'hit' is any check whose key was already checked — in a set-semantics
+    world that is total_checks − distinct_keys (order-free, so it
+    distributes; the reference's LRU eviction bound is a one-process memory
+    artifact the survey drops, §1.1). duplicates_found == cache_hits (every
+    cache hit IS a detected duplicate, `duplicate_detector.py:60-66`).
+    Rates use the exact-integer half-up 1dp convention (bit-identical across
+    engines; see cycle_stats)."""
+
+    def rate(num: str, den: str):
+        return F.expr(
+            f"cast(({num} * 2000 + greatest({den}, 1)) div "
+            f"(2 * greatest({den}, 1)) as double) / 10.0"
+        )
+
+    return (
+        checks.rollup(group)
+        .agg(
+            F.count("*").alias("total_checks"),
+            F.countDistinct(key).alias("cache_misses"),
+        )
+        .withColumn("cache_hits", F.col("total_checks") - F.col("cache_misses"))
+        .withColumn("duplicates_found", F.col("cache_hits"))
+        .withColumn("hit_rate_pct", rate("cache_hits", "total_checks"))
+        .withColumn("duplicate_rate_pct", rate("duplicates_found", "total_checks"))
+    )
+
+
 def status_pivot(df: DataFrame, group_col: str, status_col: str, statuses: list[str]) -> DataFrame:
     """groupBy().pivot(status).count() — the metrics-registry table (A2)."""
     return df.groupBy(group_col).pivot(status_col, statuses).count().na.fill(0)

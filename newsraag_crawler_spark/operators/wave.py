@@ -34,7 +34,8 @@ from .politeness import apply_robots, budget_waves, salt_hot_hosts, skew_census,
 
 CORPUS_FETCH_SCHEMA = (
     "image_id string, bytes binary, w int, h int, fmt string, caption string, "
-    "phash long, url string, source_id int, seq long, wave int"
+    "phash long, embedding array<float>, url string, source_id int, seq long, "
+    "wave int"
 )
 
 
@@ -51,7 +52,7 @@ def fetch_images(scheduled: DataFrame, seed: int = 42, wave: int = 0) -> DataFra
             cols: dict = {
                 "image_id": [None] * n, "bytes": [None] * n, "w": [0] * n,
                 "h": [0] * n, "fmt": [None] * n, "caption": [None] * n,
-                "phash": [0] * n,
+                "phash": [0] * n, "embedding": [None] * n,
             }
             for i, (url, sname) in enumerate(zip(pdf["url"], pdf["source_name"])):
                 p = fetch_payload_py(url, sname, seed)
@@ -62,6 +63,7 @@ def fetch_images(scheduled: DataFrame, seed: int = 42, wave: int = 0) -> DataFra
                 cols["fmt"][i] = p["fmt"]
                 cols["caption"][i] = p["caption"]
                 cols["phash"][i] = p["phash"]
+                cols["embedding"][i] = p["embedding"]
             out = pd.DataFrame(cols)
             out["url"] = pdf["url"].values
             out["source_id"] = pdf["source_id"].astype("int32").values

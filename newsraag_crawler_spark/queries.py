@@ -547,6 +547,35 @@ def q_cycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cycle_stats(d)
 
 
+def q_dup_detector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: dup-detector hit/miss/hit-rate/duplicate-rate rollup
+    (duplicate_detector.py:68-97). Check stream synthesized with real
+    duplicates: url key = doc_id % 350, grouped per source."""
+    from .operators.stats import dup_detector_stats
+
+    checks = _docs(spark, sf_dir).select(
+        F.col("source").alias("source_id"),
+        F.pmod("doc_id", F.lit(350)).alias("key"),
+    )
+    return dup_detector_stats(checks)
+
+
+_SQL_DUP_DETECTOR = """
+WITH checks AS (SELECT source AS source_id, doc_id % 350 AS key FROM documents)
+SELECT source_id,
+  CAST(count(*) AS BIGINT) AS total_checks,
+  CAST(count(DISTINCT key) AS BIGINT) AS cache_misses,
+  CAST(count(*) - count(DISTINCT key) AS BIGINT) AS cache_hits,
+  CAST(count(*) - count(DISTINCT key) AS BIGINT) AS duplicates_found,
+  (((count(*) - count(DISTINCT key)) * 2000 + greatest(count(*), 1))
+    // (2 * greatest(count(*), 1))) / 10.0 AS hit_rate_pct,
+  (((count(*) - count(DISTINCT key)) * 2000 + greatest(count(*), 1))
+    // (2 * greatest(count(*), 1))) / 10.0 AS duplicate_rate_pct
+FROM checks
+GROUP BY ROLLUP (source_id)
+"""
+
+
 _SQL_CYCLE_STATS = """
 SELECT source_id, count(*) AS discovered,
        CAST(sum(ok) AS BIGINT) AS processed, CAST(sum(1 - ok) AS BIGINT) AS failed,
@@ -2017,18 +2046,142 @@ SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs WHERE cos >= 0.98
 """
 
 
+def q_crawl_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end K1 embedding tier: frontier → REAL fetch (mapInPandas,
+    which now emits the deterministic image_id-seeded embedding column the
+    reference stores per Qdrant point, qdrant_client.py:130-136) → SRP
+    bucket candidates (Hamming ≤ 1) → exact cosine ≥ 0.98 near-dup pairs.
+
+    The frontier repeats every URL twice (doc_id % 60) and the second
+    discovery's vector is perturbed +0.1 on coordinate 1 — near-dups by
+    construction; the DuckDB oracle recomputes the kernel's md5 metadata
+    chain (url → caption → image_id → embedding) and the same bucketed
+    pairing, so the whole crawl→ANN path is hash-gated."""
+    from .operators.similarity import cosine_sim, srp_bucket_portable
+    from .operators.wave import fetch_images
+    from .session import ensure_shipped
+    from .sources.synthetic import EMB_DIM
+    ensure_shipped(spark)
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 120)
+    dup = F.pmod("doc_id", F.lit(60)).cast("string")
+    frontier = d.select(
+        F.concat(F.lit("https://dup.example.com/a/"), dup).alias("url"),
+        F.lit("srcE").alias("source_name"),
+        F.lit(0).alias("source_id"),
+        F.col("doc_id").alias("seq"),
+    )
+    corpus = fetch_images(frontier, seed=42)
+    emb = corpus.select(
+        "seq", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    emb = emb.withColumn(
+        "v",
+        F.when(
+            F.col("seq") >= 60,
+            F.concat(
+                F.array(F.element_at("v", 1) + F.lit(0.1)),
+                F.slice("v", 2, EMB_DIM - 1),
+            ),
+        ).otherwise(F.col("v")),
+    ).withColumn("bucket", srp_bucket_portable(F.col("v"), EMB_DIM, _SRP_BITS))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(_SRP_BITS)],
+    )
+    a = emb.select(
+        F.col("seq").alias("seq_a"), F.col("v").alias("va"),
+        F.explode(probes).alias("bucket"),
+    )
+    b = emb.select(F.col("seq").alias("seq_b"), F.col("v").alias("vb"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("seq_a") < F.col("seq_b"))
+        .select("seq_a", "seq_b", cosine_sim(F.col("va"), F.col("vb")).alias("cos"))
+        .dropDuplicates(["seq_a", "seq_b"])
+        .filter(F.col("cos") >= 0.98)
+    )
+    return pairs.select("seq_a", "seq_b", F.round("cos", 6).alias("cosine"))
+
+
+def _sql_crawl_embedding_neardup() -> str:
+    from .operators.similarity import srp_bucket_portable_sql
+    from .sources.synthetic import EMB_DIM
+
+    topics = "['EUR/USD', 'Gold', 'S&P 500', 'Crude Oil', 'BTC/USD', 'USD/JPY']"
+    seg = "regexp_extract(url, '([^/]*)$', 1)"
+    bexpr = srp_bucket_portable_sql("v", EMB_DIM, _SRP_BITS)
+    return f"""
+WITH fr AS (
+  SELECT doc_id AS seq,
+         'https://dup.example.com/a/' || (doc_id % 60)::VARCHAR AS url
+  FROM documents WHERE doc_id < 120),
+hh AS (
+  SELECT seq, url,
+         CAST(('0x' || substring(md5('w42:fetch:' || url), 1, 15)) AS BIGINT) AS h
+  FROM fr),
+meta AS (
+  SELECT seq, url, h,
+         {topics}[(h % 6)::INT + 1] || ' Analysis: ' ||
+           (CASE WHEN {seg} = '' THEN 'index' ELSE {seg} END) ||
+           ' report ' || (h % 9973)::VARCHAR AS caption
+  FROM hh),
+ids AS (
+  SELECT seq, md5('srcE' || ':' || caption || ':' || url) AS image_id FROM meta),
+emb AS (
+  SELECT seq,
+    list_transform(range(0, {EMB_DIM}), j ->
+      (((CAST(('0x' || substring(md5('emb:' || image_id || ':' || j::VARCHAR), 1, 15))
+          AS BIGINT) % 2001) - 1000) / 1000.0)::FLOAT::DOUBLE) AS v0
+  FROM ids),
+vecs AS (
+  SELECT seq,
+         CASE WHEN seq >= 60 THEN [v0[1] + 0.1] || v0[2:] ELSE v0 END AS v
+  FROM emb),
+b AS (SELECT seq, v, {bexpr} AS bucket FROM vecs),
+pairs AS (
+  SELECT a.seq AS seq_a, b2.seq AS seq_b,
+         list_cosine_similarity(a.v, b2.v) AS cos
+  FROM b a JOIN b b2
+    ON bit_count(xor(a.bucket::BIGINT, b2.bucket::BIGINT)) <= 1
+   AND a.seq < b2.seq)
+SELECT seq_a, seq_b, round(cos, 6) AS cosine FROM pairs WHERE cos >= 0.98
+"""
+
+
 def q_crawl_wave_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full scale-mode crawl wave over a synthesized frontier (politeness +
-    robots + priority + salting + fetch). Rows-only: binary payloads."""
+    """Full scale-mode crawl wave (canonicalize → robots → dedup → priority
+    → per-host budget → salting → REAL mapInPandas fetch), oracle-gated end
+    to end on the metadata path: the DuckDB mirror recomputes which URLs are
+    due (robots prefix filter, score-desc/rank host window, budget cap) AND
+    every fetched metadata column (image_id/w/h/fmt/caption — the portable
+    md5 derivations of the payload kernel). Only the binary codec outputs
+    (bytes/phash) stay outside SQL, covered by tests/test_images.py.
+
+    The frontier is derived portably from documents (host = doc_id%20,
+    score = doc_id*37%10000, every 50th URL robots-blocked) so the oracle
+    can reproduce the schedule without Spark-internal hashes."""
     from pyspark.sql import Row
 
     from .operators.wave import run_scale_wave
     from .session import ensure_shipped
-    from .sources.synthetic import synth_frontier_df
 
     ensure_shipped(spark)
-    n = 2000
-    frontier = synth_frontier_df(spark, n, n_hosts=20, hot_host_pct=30)
+    d = _docs(spark, sf_dir)
+    host = F.concat(
+        F.lit("host"), F.pmod("doc_id", F.lit(20)).cast("string"), F.lit(".example.com")
+    )
+    path = F.when(
+        F.pmod("doc_id", F.lit(50)) == 7,
+        F.concat(F.lit("/private/"), F.col("doc_id").cast("string")),
+    ).otherwise(F.concat(F.lit("/articles/"), F.col("doc_id").cast("string")))
+    frontier = d.select(
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        F.pmod("doc_id", F.lit(7)).cast("int").alias("source_id"),
+        F.col("doc_id").alias("feed_rank"),
+        (F.pmod(F.col("doc_id") * 37, F.lit(10000)) / 10000.0).alias("score"),
+        F.lit(0).alias("wave"),
+    )
     policies = spark.createDataFrame(
         [
             Row(
@@ -2041,10 +2194,50 @@ def q_crawl_wave_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     out = run_scale_wave(frontier, policies, None, wave=0)
-    c = out["corpus"]
-    return c.select(
-        "url", "image_id", "fmt", "w", "h", "phash", "caption", F.length("bytes").alias("payload_bytes")
+    return out["corpus"].select(
+        "url", "image_id", "w", "h", "fmt", "caption",
+        F.col("seq").alias("host_rank"),
     )
+
+
+def _sql_crawl_wave_scale() -> str:
+    topics = "['EUR/USD', 'Gold', 'S&P 500', 'Crude Oil', 'BTC/USD', 'USD/JPY']"
+    seg = "regexp_extract(url, '([^/]*)$', 1)"
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         'host' || (doc_id % 20)::VARCHAR || '.example.com' AS host,
+         CASE WHEN doc_id % 50 = 7 THEN '/private/' || doc_id::VARCHAR
+              ELSE '/articles/' || doc_id::VARCHAR END AS path,
+         (doc_id % 7)::INT AS source_id,
+         doc_id AS feed_rank,
+         (doc_id * 37 % 10000) / 10000.0 AS score
+  FROM documents),
+allowed AS (
+  SELECT 'https://' || host || path AS url, host, source_id, feed_rank, score
+  FROM f WHERE path NOT LIKE '/private%'),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+              ORDER BY score DESC, feed_rank) AS host_rank
+  FROM allowed),
+due AS (SELECT * FROM r WHERE host_rank <= 40),
+hh AS (
+  SELECT url, source_id, host_rank,
+         CAST(('0x' || substring(md5('w42:fetch:' || url), 1, 15)) AS BIGINT) AS h
+  FROM due),
+c AS (
+  SELECT url, source_id, host_rank, h,
+         (32 + h % 97)::INT AS w, (32 + (h >> 8) % 97)::INT AS ht,
+         CASE WHEN (h >> 16) % 10 < 7 THEN 'png' ELSE 'jpeg' END AS fmt,
+         {topics}[(h % 6)::INT + 1] || ' Analysis: ' ||
+           (CASE WHEN {seg} = '' THEN 'index' ELSE {seg} END) ||
+           ' report ' || (h % 9973)::VARCHAR AS caption
+  FROM hh)
+SELECT url,
+  md5('src' || source_id::VARCHAR || ':' || caption || ':' || url) AS image_id,
+  w, ht AS h, fmt, caption, host_rank
+FROM c
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2086,8 +2279,10 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann,
         "dedup_embedding_cosine": q_dedup_embedding,
+        "crawl_embedding_neardup": q_crawl_embedding_neardup,
         "phash_hamming_pairs": q_phash_hamming,
         "crawl_cycle_stats": q_cycle_stats,
+        "dup_detector_stats": q_dup_detector_stats,
         "bloom_seen_filter": q_bloom_seen_filter,
         "cuckoo_seen_filter": q_cuckoo_seen_filter,
         "simhash_fingerprint": q_simhash,
@@ -2137,8 +2332,11 @@ def oracles() -> dict[str, str]:
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ivf_ann_topk": _SQL_IVF_ANN,
         "dedup_embedding_cosine": _sql_dedup_embedding(),
+        "crawl_embedding_neardup": _sql_crawl_embedding_neardup(),
+        "crawl_wave_scale": _sql_crawl_wave_scale(),
         "phash_hamming_pairs": _sql_phash_hamming(),
         "crawl_cycle_stats": _SQL_CYCLE_STATS,
+        "dup_detector_stats": _SQL_DUP_DETECTOR,
         "bloom_seen_filter": _sql_bloom_seen(),
         "cuckoo_seen_filter": _sql_cuckoo_seen(),
         "simhash_fingerprint": _sql_simhash(),

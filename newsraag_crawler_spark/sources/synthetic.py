@@ -157,15 +157,41 @@ def fetch_payload_py(url: str, source_name: str, seed: int = 42) -> dict:
     caption = f"{_TOPICS[h % len(_TOPICS)]} Analysis: {url.rsplit('/', 1)[-1] or 'index'} report {h % 9973}"
     from ..functions.hashing import article_id_py
 
+    image_id = article_id_py(source_name, caption, url)
     return {
-        "image_id": article_id_py(source_name, caption, url),
+        "image_id": image_id,
         "bytes": payload,
         "w": int(w),
         "h": int(ht),
         "fmt": fmt,
         "caption": caption,
         "phash": phash64(decoded),
+        "embedding": synth_embedding(image_id),
     }
+
+
+EMB_DIM = 16
+
+
+def synth_embedding(image_id: str, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic per-document embedding seeded from image_id — the stub
+    for the reference's 3072-d Azure-OpenAI vector stored per point
+    (`/root/reference/clients/qdrant_client.py:130-136`; SURVEY.md §1.1
+    marks the embedding column optional/stubbable). Values are float32 of
+    ((md5-derived int % 2001) - 1000)/1000 so a SQL oracle reproduces every
+    bit (mirror: ((CAST('0x'||substring(md5('emb:'||image_id||':'||j),1,15)
+    AS BIGINT) % 2001 - 1000) / 1000.0)::FLOAT)."""
+    import numpy as np
+
+    return [
+        float(
+            np.float32(
+                ((portable_hash64_py(f"{image_id}:{j}", salt="emb:") % 2001) - 1000)
+                / 1000.0
+            )
+        )
+        for j in range(dim)
+    ]
 
 
 # ---------------------------------------------------------------------------
