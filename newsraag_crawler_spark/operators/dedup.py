@@ -277,21 +277,44 @@ def build_cuckoo_shards(
         )
     )
 
+    def _group_rank(b: np.ndarray) -> np.ndarray:
+        """0-based position of each element within its value-group (stable).
+        Pure numpy segment ops — no per-key Python."""
+        order = np.argsort(b, kind="stable")
+        sb = b[order]
+        idx = np.arange(len(sb))
+        is_start = np.r_[True, sb[1:] != sb[:-1]] if len(sb) else np.array([], bool)
+        start_idx = np.maximum.accumulate(np.where(is_start, idx, 0))
+        rank = np.empty_like(idx)
+        rank[order] = idx - start_idx
+        return rank
+
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        # VECTORIZED bulk build (r2 VERDICT #7 — the per-key for-loop was a
+        # scale-killer for from-scratch builds over 10^10 keys): pass 1
+        # places each key in b1 at its within-bucket rank while slots last;
+        # pass 2 places the remainder in b2 above the slots pass 1 used
+        # there; the rest spill to the exact overflow list. The placement
+        # differs from the sequential insert order but membership is
+        # identical: probes always check BOTH candidate buckets + overflow.
         table = np.zeros((n_buckets, _CUCKOO_SLOTS), dtype=np.uint16)
-        overflow = []
-        for fp, b1, b2 in zip(pdf["fp"], pdf["b1"], pdf["b2"]):
-            placed = False
-            for b in (int(b1), int(b2)):
-                row = table[b]
-                empty = np.where(row == 0)[0]
-                if len(empty):
-                    row[empty[0]] = fp
-                    placed = True
-                    break
-            if not placed:
-                overflow.append((int(fp), int(b1)))
-        blob = table.tobytes() + np.array(overflow, dtype=np.int64).tobytes()
+        fps = pdf["fp"].to_numpy(np.uint16)
+        b1s = pdf["b1"].to_numpy(np.int64)
+        b2s = pdf["b2"].to_numpy(np.int64)
+        r1 = _group_rank(b1s)
+        placed1 = r1 < _CUCKOO_SLOTS
+        table[b1s[placed1], r1[placed1]] = fps[placed1]
+        used = np.bincount(
+            b1s[placed1], minlength=n_buckets
+        )  # pass-1 fill per bucket, ≤ _CUCKOO_SLOTS
+        idx_rem = np.nonzero(~placed1)[0]
+        slot2 = used[b2s[idx_rem]] + _group_rank(b2s[idx_rem])
+        ok2 = slot2 < _CUCKOO_SLOTS
+        sel = idx_rem[ok2]
+        table[b2s[sel], slot2[ok2]] = fps[sel]
+        spilled = idx_rem[~ok2]
+        overflow = np.column_stack((fps[spilled], b1s[spilled])).astype(np.int64)
+        blob = table.tobytes() + overflow.tobytes()
         return pd.DataFrame(
             {
                 "shard_id": [int(pdf["shard_id"].iloc[0])],

@@ -97,8 +97,24 @@ def load_sources_yaml(spark: SparkSession, config_path: str) -> LoadedConfig:
             )
         except (TypeError, ValueError) as e:
             bad.append((str(entry), f"bad field value: {e}"))
+    # source_id = hash(name) % 1e6 can collide for distinct names; colliding
+    # sources would silently MERGE in every downstream groupBy/join
+    # (scheduling caps, stats, frontier). Errors are data: quarantine the
+    # later entry instead (duplicate NAMES collide by construction — they
+    # are genuinely the same source and also land in quarantine).
+    seen_ids: dict[int, str] = {}
+    unique_rows = []
+    for r in rows:
+        sid, name = r[0], r[1]
+        if sid in seen_ids:
+            bad.append(
+                (name, f"source_id collision with '{seen_ids[sid]}' (id {sid})")
+            )
+            continue
+        seen_ids[sid] = name
+        unique_rows.append(r)
     return LoadedConfig(
-        spark.createDataFrame(rows, SOURCES_SCHEMA),
+        spark.createDataFrame(unique_rows, SOURCES_SCHEMA),
         spark.createDataFrame(bad, QUARANTINE_SCHEMA),
     )
 

@@ -86,3 +86,24 @@ def test_yaml_config_drives_reference_schedule(spark, tmp_path):
     assert ids["newsline"] not in got
     assert got[ids["babysteps"]] == 3
     assert got[ids["minimal"]] == 10
+
+
+def test_source_id_collision_quarantined(spark, tmp_path):
+    """Two distinct names hashing to the same source_id must not silently
+    merge downstream — the later entry lands in quarantine (errors are
+    data)."""
+    from unittest.mock import patch
+
+    import newsraag_crawler_spark.sources.config_loader as cl
+
+    p = tmp_path / "s.yaml"
+    p.write_text(
+        "sources:\n"
+        "  - {name: alpha, type: rss, url: 'https://a/feed'}\n"
+        "  - {name: bravo, type: rss, url: 'https://b/feed'}\n"
+    )
+    with patch.object(cl, "portable_hash64_py", lambda s, salt="": 7):
+        cfg = cl.load_sources_yaml(spark, str(p))
+    assert cfg.sources.count() == 1
+    errs = [r.error for r in cfg.quarantine.collect()]
+    assert any("collision" in e for e in errs)
