@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "html_text_extract",
     "token_budget_gate",
     "fetch_metadata",
+    "rss_items_parse",
+    "crawl_embedding_neardup",
+    "dup_detector_stats",
 ]
 
 
@@ -136,8 +139,24 @@ def crawl_wave_bench(spark, n_urls: int) -> tuple[int, float]:
     ranked = priority_frontier(fresh, rank_col="feed_rank")
     budgeted = budget_waves(ranked, policies, default_budget=200, default_delay_s=1.0)
     due, _spill = split_wave(budgeted)
-    # census, salt and fetch all consume `due` — materialize it once
-    due = due.persist()
+    # census, salt and fetch all consume `due` — materialize it ONCE with a
+    # lineage-truncating checkpoint, then RELEASE every upstream block
+    # (frontier checkpoint, seen table, bloom shards) BEFORE the payload
+    # stage: resident long-lived blocks measured a 2.4x slowdown of the
+    # Arrow-heavy fetch (49s clean vs 117s loaded at 600k rows — the 11 GB
+    # of corpus rows streaming through the JVM makes GC scan/copy whatever
+    # else lives in the heap). Well-structured production waves get the
+    # same effect by committing `due` to the table before fetching.
+    pre_ids = {
+        jrdd.id()
+        for jrdd in frontier.sparkSession.sparkContext._jsc.getPersistentRDDs().values()
+    }
+    due = due.localCheckpoint(eager=True)
+    for jrdd in list(
+        frontier.sparkSession.sparkContext._jsc.getPersistentRDDs().values()
+    ):
+        if jrdd.id() in pre_ids:
+            jrdd.unpersist(True)
     census = skew_census(due, threshold=5000)
     salted = salt_hot_hosts(due, census)
     # explicit partition count: AQE would coalesce the byte-small pre-fetch
