@@ -74,7 +74,16 @@ def _fresh_session(cpus: int):
         active.stop()
     from newsraag_crawler_spark.session import build_session
 
-    return build_session(f"bench_{cpus}", cpus=cpus)
+    # reuse=false: a reused pandas-UDF daemon bloats in proportion to the
+    # payload volume IT streams, and that volume per daemon is inversely
+    # proportional to the core count — a systematic handicap on the SMALL
+    # side of a scaling pair (2 daemons stream 4x what 8 do). Fresh workers
+    # pay a flat ~50ms/task spawn tax on both sides instead — fair.
+    reuse = os.environ.get("SPARK_GRAFT_WORKER_REUSE", "false")
+    return build_session(
+        f"bench_{cpus}", cpus=cpus,
+        extra_conf={"spark.python.worker.reuse": reuse},
+    )
 
 
 def crawl_wave_bench(spark, n_urls: int) -> tuple[int, float]:
@@ -322,10 +331,12 @@ def main() -> None:
         # cores (taskset over the whole process tree = an executor's
         # dedicated core budget; plain local[N] does not bound python
         # workers, so its "N" under-states the small run's real cores)
-        # FIXED 300k pinned input: the 8-core run finishes ~4x sooner, so a
+        # FIXED 600k pinned input: the 8-core run finishes ~4x sooner, so a
         # smaller input lets constant per-stage costs eat its throughput and
-        # understate efficiency (Amdahl) — 200k measured 0.776 vs 0.82 @300k
-        n_pin = int(os.environ.get("SPARK_GRAFT_PIN_URLS", "300000"))
+        # understate efficiency (Amdahl) — 200k measured 0.776, 300k 0.83,
+        # 600k 0.90 (r3); the number of record uses the largest input that
+        # keeps a 5-pair interleaved block under ~45 min
+        n_pin = int(os.environ.get("SPARK_GRAFT_PIN_URLS", "600000"))
         pin_pairs = int(os.environ.get("SPARK_GRAFT_PIN_PAIRS", "5"))
         pinned = _pinned_scaling(n_pin, pin_pairs)
         # secondary: unpinned local[N_SMALL] vs local[CPUS] on the full N
@@ -411,6 +422,13 @@ def _write_baseline_md(r: dict) -> None:
             "landing on one side — all-A-then-all-B made the same code read",
             "1.078 one run and 0.633 the next in r2. The spread is published",
             "with the median; a bare median is not evidence.",
+            "Python workers are FRESH per task (spark.python.worker.reuse=",
+            "false) because a reused daemon bloats in proportion to the",
+            "payload volume it streams, which is 4x higher per daemon on the",
+            "2-core side — that asymmetry made reuse=true read a superlinear",
+            "1.0-1.11. The flat spawn tax of fresh workers biases the OTHER",
+            "way (it is a larger fraction of the shorter 8-core wave), so",
+            "the published efficiency is a conservative floor.",
             f"Per-pair wave times (s): 2-core {p['small_times_s']}, "
             f"8-core {p['big_times_s']}.",
             "",
