@@ -547,6 +547,78 @@ def q_cycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cycle_stats(d)
 
 
+def q_legacy_config_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: legacy loose-dict source configs → normalized SourceConfig rows
+    (source_crawler.py:145-200) — rss/html/default inference, url coalesce
+    chains, content-type mapping, defaulting. Fixture synthesizes the five
+    legacy shapes (rss_url / feed_url / html+selectors / stocks / bare-url)
+    with NULLs standing in for missing dict keys."""
+    from .sources.config_loader import convert_legacy_configs
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id").cast("string")
+    m = F.pmod("doc_id", F.lit(5))
+    legacy = d.select(
+        F.when(F.pmod("doc_id", F.lit(7)) != 0, F.concat(F.lit("s"), i)).alias("name"),
+        F.when(m == 2, F.lit("html")).when(m == 1, F.lit("rss")).alias("type"),
+        F.concat(F.lit("https://h"), i, F.lit(".example.com/page")).alias("url"),
+        F.when(m == 0, F.concat(F.lit("https://h"), i, F.lit("/feed"))).alias("rss_url"),
+        F.when(m == 1, F.concat(F.lit("https://h"), i, F.lit("/rss.xml"))).alias("feed_url"),
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, F.concat(F.lit("https://base"), i)).alias("base_url"),
+        F.when(m == 3, F.lit("div.article")).alias("selectors"),
+        F.when(m == 3, F.lit("Stocks")).when(F.pmod("doc_id", F.lit(11)) == 0, F.lit("stock")).alias("content_type"),
+        F.when(F.pmod("doc_id", F.lit(2)) == 0, (F.pmod("doc_id", F.lit(9)) + 1).cast("int")).alias("rate_limit"),
+        F.when(m == 4, F.lit(25)).cast("int").alias("max_articles"),
+        F.lit(None).cast("int").alias("timeout"),
+        F.when(F.pmod("doc_id", F.lit(3)) == 1, F.lit(True)).alias("translate"),
+    )
+    # 'name' aliased to cfg_name: the driver's comparator sorts by column
+    # name and 'name' collides with nothing here, but the explicit alias
+    # keeps the output schema self-describing
+    return convert_legacy_configs(legacy).withColumnRenamed("name", "cfg_name")
+
+
+_SQL_LEGACY_CONFIG = """
+WITH legacy AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 <> 0 THEN 's' || doc_id::VARCHAR END AS name,
+    CASE WHEN doc_id % 5 = 2 THEN 'html' WHEN doc_id % 5 = 1 THEN 'rss' END AS type,
+    'https://h' || doc_id::VARCHAR || '.example.com/page' AS url,
+    CASE WHEN doc_id % 5 = 0 THEN 'https://h' || doc_id::VARCHAR || '/feed' END AS rss_url,
+    CASE WHEN doc_id % 5 = 1 THEN 'https://h' || doc_id::VARCHAR || '/rss.xml' END AS feed_url,
+    CASE WHEN doc_id % 3 = 0 THEN 'https://base' || doc_id::VARCHAR END AS base_url,
+    CASE WHEN doc_id % 5 = 3 THEN 'div.article' END AS selectors,
+    CASE WHEN doc_id % 5 = 3 THEN 'Stocks'
+         WHEN doc_id % 11 = 0 THEN 'stock' END AS content_type,
+    CASE WHEN doc_id % 2 = 0 THEN (doc_id % 9 + 1)::INT END AS rate_limit,
+    CASE WHEN doc_id % 5 = 4 THEN 25 END::INT AS max_articles,
+    NULL::INT AS timeout,
+    CASE WHEN doc_id % 3 = 1 THEN TRUE END AS translate
+  FROM documents),
+conv AS (
+  SELECT *,
+    (rss_url IS NOT NULL OR feed_url IS NOT NULL OR type = 'rss') AS is_rss,
+    (selectors IS NOT NULL OR type = 'html') AS is_html,
+    COALESCE(rss_url, feed_url, url) AS rss_resolved,
+    COALESCE(base_url, url, '') AS default_base
+  FROM legacy)
+SELECT
+  COALESCE(name, 'legacy_source') AS cfg_name,
+  CASE WHEN is_rss THEN 'rss' WHEN is_html THEN 'html' ELSE 'rss' END AS source_type,
+  CASE WHEN lower(COALESCE(content_type, 'forex')) IN ('stock', 'stocks')
+       THEN 'stocks' ELSE 'forex' END AS content_type,
+  CASE WHEN is_rss THEN COALESCE(base_url, rss_resolved)
+       WHEN is_html THEN default_base ELSE default_base END AS base_url,
+  CASE WHEN is_rss THEN rss_resolved
+       WHEN is_html THEN NULL ELSE default_base END AS rss_url,
+  CAST(COALESCE(rate_limit, 2) AS INT) AS rate_limit_seconds,
+  CAST(COALESCE(max_articles, 50) AS INT) AS max_articles_per_run,
+  CAST(COALESCE(timeout, 30) AS INT) AS timeout_seconds,
+  COALESCE(translate, FALSE) AS requires_translation
+FROM conv
+"""
+
+
 def q_dup_detector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: dup-detector hit/miss/hit-rate/duplicate-rate rollup
     (duplicate_detector.py:68-97). Check stream synthesized with real
@@ -2085,6 +2157,12 @@ def q_crawl_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.col("v")),
     ).withColumn("bucket", srp_bucket_portable(F.col("v"), EMB_DIM, _SRP_BITS))
+    # materialize ONCE before the self-join: both join sides derive from the
+    # mapInPandas fetch, and a lazy plan re-executes it per side (the r1
+    # double-fetch disease). Production gets this for free by committing the
+    # corpus snapshot and reading it back; eager (not lazy) checkpoint
+    # because concurrent stages race to fill a lazy persist.
+    emb = emb.localCheckpoint(eager=True)
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(_SRP_BITS)],
@@ -2283,6 +2361,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_hamming_pairs": q_phash_hamming,
         "crawl_cycle_stats": q_cycle_stats,
         "dup_detector_stats": q_dup_detector_stats,
+        "legacy_config_convert": q_legacy_config_convert,
         "bloom_seen_filter": q_bloom_seen_filter,
         "cuckoo_seen_filter": q_cuckoo_seen_filter,
         "simhash_fingerprint": q_simhash,
@@ -2337,6 +2416,7 @@ def oracles() -> dict[str, str]:
         "phash_hamming_pairs": _sql_phash_hamming(),
         "crawl_cycle_stats": _SQL_CYCLE_STATS,
         "dup_detector_stats": _SQL_DUP_DETECTOR,
+        "legacy_config_convert": _SQL_LEGACY_CONFIG,
         "bloom_seen_filter": _sql_bloom_seen(),
         "cuckoo_seen_filter": _sql_cuckoo_seen(),
         "simhash_fingerprint": _sql_simhash(),

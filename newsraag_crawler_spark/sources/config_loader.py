@@ -119,6 +119,58 @@ def load_sources_yaml(spark: SparkSession, config_path: str) -> LoadedConfig:
     )
 
 
+def convert_legacy_configs(legacy: DataFrame) -> DataFrame:
+    """P6 — legacy loose-dict config → normalized SourceConfig columns
+    (reference `crawler/core/source_crawler.py:145-200`), as pure
+    when/otherwise + coalesce column math (missing dict keys ≡ NULLs):
+
+    - rss wins: any of rss_url/feed_url present or type=='rss'
+      → rss_url = coalesce(rss_url, feed_url, url), base = coalesce(base_url, rss_url)
+    - else html: selectors present or type=='html' → base = coalesce(base_url, url, '')
+    - else default rss with rss_url = base_url = coalesce(base_url, url, '')
+    - content 'stock'/'stocks' (case-insensitive) → stocks, else forex
+    - defaults: rate_limit 2, max_articles 50, timeout 30, translate false
+    """
+    from pyspark.sql import functions as F
+
+    is_rss = (
+        F.col("rss_url").isNotNull()
+        | F.col("feed_url").isNotNull()
+        | (F.col("type") == "rss")
+    )
+    is_html = F.col("selectors").isNotNull() | (F.col("type") == "html")
+    rss_resolved = F.coalesce("rss_url", "feed_url", "url")
+    default_base = F.coalesce("base_url", "url", F.lit(""))
+    stype = F.when(is_rss, F.lit("rss")).when(is_html, F.lit("html")).otherwise(
+        F.lit("rss")
+    )
+    base = (
+        F.when(is_rss, F.coalesce("base_url", rss_resolved))
+        .when(is_html, default_base)
+        .otherwise(default_base)
+    )
+    rss_final = (
+        F.when(is_rss, rss_resolved)
+        .when(is_html, F.lit(None).cast("string"))
+        .otherwise(default_base)
+    )
+    content = F.when(
+        F.lower(F.coalesce("content_type", F.lit("forex"))).isin("stock", "stocks"),
+        F.lit("stocks"),
+    ).otherwise(F.lit("forex"))
+    return legacy.select(
+        F.coalesce("name", F.lit("legacy_source")).alias("name"),
+        stype.alias("source_type"),
+        content.alias("content_type"),
+        base.alias("base_url"),
+        rss_final.alias("rss_url"),
+        F.coalesce("rate_limit", F.lit(2)).cast("int").alias("rate_limit_seconds"),
+        F.coalesce("max_articles", F.lit(50)).cast("int").alias("max_articles_per_run"),
+        F.coalesce("timeout", F.lit(30)).cast("int").alias("timeout_seconds"),
+        F.coalesce("translate", F.lit(False)).alias("requires_translation"),
+    )
+
+
 def to_schedule_dim(sources: DataFrame) -> DataFrame:
     """Project the config table onto the scheduling dimension consumed by
     operators.frontier.reference_schedule."""

@@ -164,3 +164,27 @@ def test_ivf_assignment_is_map_side(spark):
     p = _plan(q_ivf_ann(spark, SF), mode="simple")
     assert "hashpartitioning(vec_id" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_rss_items_parse_pure_jvm(spark):
+    """Multi-item feed parsing is regexp_extract_all + posexplode — all
+    whole-stage-codegen JVM work, no Python, no exchange."""
+    from newsraag_crawler_spark.queries import q_robust_parse, q_rss_items
+
+    for q in (q_rss_items, q_robust_parse):
+        p = _plan(q(spark, SF), mode="simple")
+        assert "PythonUDF" not in p and "ArrowEvalPython" not in p, (q, p)
+        assert "Exchange" not in p, (q, p)
+
+
+def test_crawl_embedding_neardup_plan(spark):
+    """End-to-end crawl→ANN: the mapInPandas fetch runs exactly ONCE (the
+    corpus is checkpointed before the self-join — a lazy plan re-executes
+    the fetch per join side), and SRP candidates join on bucket equality —
+    never a cartesian against the corpus."""
+    from newsraag_crawler_spark.queries import q_crawl_embedding_neardup
+
+    p = _plan(q_crawl_embedding_neardup(spark, SF), mode="simple")
+    assert p.count("MapInPandas") == 0, p  # fetch ran once, at checkpoint time
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
