@@ -142,3 +142,48 @@ def test_late_data_dropped_past_watermark(spark, dirs):
     # the late row was dropped: still exactly one emission of 3 for minute 0,
     # no correction row
     assert second.get((base, "h.example.com")) == [3]
+
+
+def test_stateful_rate_limiter_bucket_persists_across_batches(spark, dirs):
+    """applyInPandasWithState token bucket: within a batch, per-host slots
+    are >= delay apart; across micro-batches (separate availableNow runs
+    sharing a checkpoint) the host's next-free time PERSISTS — the
+    reference RateLimiter's reset-per-run bug-shape must not reappear."""
+    import datetime
+
+    from newsraag_crawler_spark.streaming.stateful import rate_limit_stream
+
+    input_dir, ckpt, tmp = dirs
+    out_dir = str(tmp / "rl_out")
+
+    def run_once():
+        stream = fs.canonicalize_stream(fs.read_frontier_stream(spark, input_dir))
+        limited = rate_limit_stream(stream, delay_s=10.0)
+        q = (
+            limited.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: 3 URLs on one host arriving in the same second
+    _write_batch(spark, input_dir, [f"https://A.example.com/articles/{i}" for i in range(3)])
+    run_once()
+    got1 = {r.url: r for r in spark.read.parquet(out_dir).collect()}
+    scheds = sorted(r.scheduled_at_s for r in got1.values())
+    assert all(b - a >= 10.0 - 1e-6 for a, b in zip(scheds, scheds[1:])), scheds
+
+    # batch 2: same host, arrival ~immediately after batch 1's arrivals —
+    # must queue BEHIND batch 1's last slot, not restart the bucket
+    _write_batch(spark, input_dir, ["https://A.example.com/articles/99"], base_rank=100)
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    new = [r for r in rows if r.url.endswith("/99")][0]
+    assert new.scheduled_at_s >= max(scheds) + 10.0 - 1e-6, (
+        new.scheduled_at_s,
+        scheds,
+    )
+    assert new.wait_s >= 0.0
