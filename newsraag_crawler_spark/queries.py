@@ -376,6 +376,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(2)
         ],
     )
+    # materialize ONCE: banded feeds BOTH sides of BOTH band self-joins — a
+    # lazy plan re-executes the md5 signature fold 4x (measured 2.5s -> 10.6s
+    # at sf0.1). Production banding would commit signatures to a table first.
+    banded = banded.localCheckpoint(eager=True)
     pairs = None
     for b in range(2):
         a = banded.select(F.col("doc_id").alias("id_a"), F.col(f"band{b}").alias("bucket"))
