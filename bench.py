@@ -1,4 +1,4 @@
-"""Benchmark harness (driver-run per round; prints ONE JSON line).
+"""Benchmark harness (driver-run per round).
 
 Headline metric (BASELINE.json): URLs fetched+deduped per second through the
 full scale-mode crawl wave — canonicalize → Bloom+exact seen filter →
@@ -10,9 +10,19 @@ local[N_SMALL] and local[N_BIG] on the same input; we report throughput at
 both and efficiency = (T_big/T_small)/(N_big/N_small), and write
 BENCH/BASELINE.md. Per-query timings over $SPARK_GRAFT_SF_DIR follow.
 
+Output protocol (r3 VERDICT #1 — the r3 run timed out leaving ZERO
+evidence): work is ordered headline → per-query → soak → pinned scaling
+pairs → unpinned secondary, a flushed ``{"partial": ...}`` JSON line is
+printed the moment each piece lands, and the complete combined JSON is the
+LAST line. A SPARK_GRAFT_BENCH_BUDGET_S wall budget (default 1380 s) stops
+scheduling new scaling pairs when the next pair would overrun, so a driver
+timeout can only truncate the lowest-priority tail.
+
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_URLS (default 300000),
-SPARK_GRAFT_SCALING=0 to skip the two-session scaling run.
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_URLS (default 1000000),
+SPARK_GRAFT_PIN_URLS / SPARK_GRAFT_PIN_PAIRS (600000 / 3),
+SPARK_GRAFT_BENCH_BUDGET_S (1380), SPARK_GRAFT_SCALING=0 to skip scaling,
+SPARK_GRAFT_SOAK=0 to skip the multi-wave soak.
 """
 
 from __future__ import annotations
@@ -36,6 +46,19 @@ N_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "1000000"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 N_SMALL = max(CPUS // 4, 2)
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
+RUN_SOAK = os.environ.get("SPARK_GRAFT_SOAK", "1") == "1"
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1380"))
+_T_START = time.time()
+
+
+def _emit(kind: str, payload: dict) -> None:
+    """Flushed partial-result line: a driver timeout still leaves every
+    completed measurement parsable in its captured tail."""
+    print(json.dumps({"partial": kind, **payload}), flush=True)
+
+
+def _left() -> float:
+    return BUDGET_S - (time.time() - _T_START)
 
 BENCH_QUERIES = [
     "tpch_q1_pricing_summary",
@@ -185,8 +208,16 @@ def crawl_wave_bench(spark, n_urls: int) -> tuple[int, float]:
         .withColumn("seq", F.col("host_rank").cast("long"))
     )
     corpus = fetch_images(scheduled, seed=42, wave=0)
-    n = corpus.count()
+    # materialize via a WRITE, not count(): the fetch codec is a projected
+    # (nondeterministic) pandas-UDF column, and a count() plan needs no
+    # columns, so Catalyst column-prunes the codec away — a counted "wave"
+    # would skip the payload work entirely. The noop sink consumes full
+    # rows (bytes included) like the production parquet commit, minus IO.
+    corpus.write.format("noop").mode("overwrite").save()
     elapsed = time.time() - t0
+    # row count from the already-checkpointed `due` (fetch is 1:1), outside
+    # the timed span and without re-running anything expensive
+    n = due.count()
     seen.unpersist()
     shards.unpersist()
     return n, elapsed
@@ -263,15 +294,30 @@ def _pinned_scaling(n_pin: int, pairs: int) -> dict:
     slow drift because both sides of a pair see near-identical box
     conditions. Reports the median pair efficiency AND the full per-pair
     spread — a single number without its spread is how r2 published a bogus
-    figure."""
+    figure.
+
+    Budget-aware (r3 VERDICT #1): each completed pair is _emit()ted
+    immediately, and a further pair is only started while the projected
+    pair cost (last pair × 1.15) fits the remaining wall budget — a driver
+    timeout can cost at most the pair in flight, never completed evidence.
+    """
     small_t, big_t, effs = [], [], []
     n_small_rows = n_big_rows = 0
-    for _ in range(pairs):
+    for i in range(pairs):
+        if small_t:
+            est = (small_t[-1] + big_t[-1]) * 1.15 + 60  # + JVM/warmup tax
+            if est > _left():
+                _emit("pin_budget_stop", {"pairs_done": len(effs),
+                                          "est_next_s": round(est, 1),
+                                          "left_s": round(_left(), 1)})
+                break
         n_small_rows, ts = _wave_subprocess(2, n_pin, pin=2, repeats=1)
         n_big_rows, tb = _wave_subprocess(8, n_pin, pin=8, repeats=1)
         small_t.append(ts)
         big_t.append(tb)
         effs.append(((n_big_rows / tb) / (n_small_rows / ts)) / 4)
+        _emit("pin_pair", {"i": i, "t2_s": round(ts, 1), "t8_s": round(tb, 1),
+                           "efficiency": round(effs[-1], 3)})
     effs_sorted = sorted(effs)
     med_eff = effs_sorted[len(effs_sorted) // 2]
     ts_med = sorted(small_t)[len(small_t) // 2]
@@ -280,7 +326,7 @@ def _pinned_scaling(n_pin: int, pairs: int) -> dict:
         "n_small_cores": 2,
         "n_big_cores": 8,
         "n_urls": n_pin,
-        "pairs": pairs,
+        "pairs": len(effs),
         "urls_per_sec_small": round(n_small_rows / ts_med, 1),
         "urls_per_sec_big": round(n_big_rows / tb_med, 1),
         "scaling_efficiency": round(med_eff, 3),
@@ -289,6 +335,69 @@ def _pinned_scaling(n_pin: int, pairs: int) -> dict:
         "efficiency_max": round(max(effs), 3),
         "small_times_s": [round(t, 1) for t in small_t],
         "big_times_s": [round(t, 1) for t in big_t],
+    }
+
+
+def crawl_soak(spark, n_seeds: int = 120_000, waves: int = 5) -> dict:
+    """Multi-wave soak (r3 VERDICT #8): run_crawl with link expansion over
+    ``waves`` waves — the frontier grows from discovered links then drains
+    through the seen filter — timing each wave via the resume path (one
+    run_crawl(max_waves=1) per wave re-enters from the frontier table's
+    lineage, exercising checkpoint-resume at bench scale) and recording the
+    persistent-RDD block count after each wave: a flat count is the
+    at-scale regression gate for the r2 cache leak (wave.py releases
+    _due_cached per wave)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from newsraag_crawler_spark.operators.wave import run_crawl
+    from newsraag_crawler_spark.sources.synthetic import synth_frontier_df
+    from newsraag_crawler_spark.storage.snapshot_store import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="crawl_soak_")
+    tables = {
+        k: SnapshotTable(spark, os.path.join(root, k))
+        for k in ("frontier", "corpus", "seen", "metrics")
+    }
+    seeds = synth_frontier_df(
+        spark, n_seeds, n_hosts=max(n_seeds // 100, 10), hot_host_pct=20,
+        partitions=max(32, n_seeds // 12_500),
+    ).select("url", "source_id", "feed_rank", "score", "wave")
+    policies = spark.createDataFrame(
+        [Row(host="host0.example.com", crawl_delay_s=1.0, per_wave_budget=2000,
+             robots_disallow=["/private"])]
+    )
+    wave_s, wave_rows, blocks = [], [], []
+    try:
+        for i in range(waves):
+            t0 = time.time()
+            # max_waves is an absolute wave NUMBER bound; i+1 makes each
+            # resume call execute exactly one more wave from table lineage
+            out = run_crawl(
+                spark, seeds, policies, tables, max_waves=i + 1,
+                links_per_page=2, n_articles=n_seeds,
+            )
+            wave_s.append(round(time.time() - t0, 2))
+            if out["waves_run"] == 0:
+                break
+            lin = tables["corpus"].current_lineage() or {}
+            wave_rows.append(int(lin.get("rows", 0)))
+            blocks.append(
+                len(spark.sparkContext._jsc.getPersistentRDDs())
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return {
+        "n_seeds": n_seeds,
+        "waves": len(wave_rows),
+        "wave_seconds": wave_s,
+        "wave_fetched": wave_rows,
+        "wave_urls_per_sec": [
+            round(r / s, 1) for r, s in zip(wave_rows, wave_s)
+        ],
+        "persistent_blocks_per_wave": blocks,
     }
 
 
@@ -324,42 +433,57 @@ def main() -> None:
         print(json.dumps({"fetched": n, "elapsed": median, "all_elapsed": times}))
         return
 
-    results: dict = {}
+    # ---- 1. headline FIRST (the number of record must survive any timeout)
+    n_b, t_b = _wave_subprocess(CPUS, N_URLS, repeats=REPEATS)
+    thr_b = n_b / t_b
+    crawl = {"n_frontier_urls": N_URLS, "fetched": n_b, "elapsed_sec": round(t_b, 2)}
+    _emit("crawl", {**crawl, "urls_per_sec": round(thr_b, 1)})
+
+    # ---- 2. per-query wall times
+    spark = _fresh_session(CPUS)
+    qtimes = run_queries(spark, SF_DIR)
+    _emit("queries", {"queries": qtimes})
+
+    # ---- 3. multi-wave soak (same session: the flat-blocks gate needs one)
+    soak = {}
+    if RUN_SOAK:
+        soak = crawl_soak(
+            spark, n_seeds=int(os.environ.get("SPARK_GRAFT_SOAK_SEEDS", "120000"))
+        )
+        _emit("soak", soak)
+    spark.stop()
+
+    # ---- 4. pinned scaling pairs (budget-aware, emitted per pair)
     scaling = {}
     if RUN_SCALING:
         # primary north-rule evidence: IDENTICAL job at N and 4N CPU-PINNED
         # cores (taskset over the whole process tree = an executor's
         # dedicated core budget; plain local[N] does not bound python
-        # workers, so its "N" under-states the small run's real cores)
-        # FIXED 600k pinned input: the 8-core run finishes ~4x sooner, so a
-        # smaller input lets constant per-stage costs eat its throughput and
-        # understate efficiency (Amdahl) — 200k measured 0.776, 300k 0.83,
-        # 600k 0.90 (r3); the number of record uses the largest input that
-        # keeps a 5-pair interleaved block under ~45 min
+        # workers, so its "N" under-states the small run's real cores).
+        # 600k input keeps the parallel fraction dominant (Amdahl: 200k
+        # measured 0.776, 300k 0.83, 600k 0.90 in r3); 3 pairs ≈ 13 min
+        # with the r4 fetch kernel (2-core wave 169 s, 8-core 47 s).
         n_pin = int(os.environ.get("SPARK_GRAFT_PIN_URLS", "600000"))
-        pin_pairs = int(os.environ.get("SPARK_GRAFT_PIN_PAIRS", "5"))
+        pin_pairs = int(os.environ.get("SPARK_GRAFT_PIN_PAIRS", "3"))
         pinned = _pinned_scaling(n_pin, pin_pairs)
-        # secondary: unpinned local[N_SMALL] vs local[CPUS] on the full N
-        # (single sample — documented oversubscription artifact, not the
-        # primary evidence; the 2-core pinned run is stable at 1 sample too)
-        n_s, t_s = _wave_subprocess(N_SMALL, N_URLS)
-        thr_s = n_s / t_s
-    n_b, t_b = _wave_subprocess(CPUS, N_URLS, repeats=REPEATS)
-    thr_b = n_b / t_b
-    if RUN_SCALING:
-        scaling = {
-            "pinned": pinned,
-            "unpinned": {
+        scaling["pinned"] = pinned
+        # ---- 5. unpinned secondary (lowest priority, only if budget left;
+        # documented oversubscription artifact, not the primary evidence)
+        est_small = t_b * (CPUS / N_SMALL) * 0.4 + 60
+        if est_small < _left():
+            n_s, t_s = _wave_subprocess(N_SMALL, N_URLS)
+            thr_s = n_s / t_s
+            scaling["unpinned"] = {
                 "n_small": N_SMALL,
                 "n_big": CPUS,
                 "n_urls": N_URLS,
                 "urls_per_sec_small": round(thr_s, 1),
                 "urls_per_sec_big": round(thr_b, 1),
                 "scaling_efficiency": round((thr_b / thr_s) / (CPUS / N_SMALL), 3),
-            },
-        }
-    spark = _fresh_session(CPUS)
-    qtimes = run_queries(spark, SF_DIR)
+            }
+            _emit("unpinned", scaling["unpinned"])
+        else:
+            _emit("unpinned_budget_skip", {"left_s": round(_left(), 1)})
 
     results = {
         "metric": "urls_fetched_deduped_per_sec",
@@ -367,14 +491,15 @@ def main() -> None:
         "unit": "urls/sec",
         "queries": qtimes,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-        "crawl": {"n_frontier_urls": N_URLS, "fetched": n_b, "elapsed_sec": round(t_b, 2)},
+        "crawl": crawl,
+        "soak": soak,
         "scaling": scaling,
+        "wall_s": round(time.time() - _T_START, 1),
     }
     # smoke/verify runs (tiny N, scaling off) set this to 0 so they don't
     # clobber the last full run's published numbers
     if os.environ.get("SPARK_GRAFT_WRITE_BASELINE", "1") == "1":
         _write_baseline_md(results)
-    spark.stop()
     print(json.dumps(results))
 
 
@@ -398,7 +523,7 @@ def _write_baseline_md(r: dict) -> None:
         "",
     ]
     if s:
-        p, u = s["pinned"], s["unpinned"]
+        p, u = s["pinned"], s.get("unpinned")
         lines += [
             "**Primary (CPU-pinned, models dedicated executor cores):** the identical",
             "wave at 2 and 8 taskset-pinned cores (whole process tree — JVM task",
@@ -431,18 +556,36 @@ def _write_baseline_md(r: dict) -> None:
             "the published efficiency is a conservative floor.",
             f"Per-pair wave times (s): 2-core {p['small_times_s']}, "
             f"8-core {p['big_times_s']}.",
-            "",
-            f"**Secondary (unpinned local[{u['n_small']}] vs local[{u['n_big']}], {u['n_urls']} URLs):**",
-            f"{u['urls_per_sec_small']} → {u['urls_per_sec_big']} urls/sec, efficiency {u['scaling_efficiency']}.",
-            "Unpinned local[N] under-states the small run's real core usage (python",
-            "workers are processes OUTSIDE the N task slots), and at local[32] the",
-            "32 JVM threads + 32 python workers oversubscribe the 32 physical cores —",
-            "an artifact of sharing one box that dedicated-core executors don't have.",
-            "Raw kernel scaling on this machine (multiprocessing, no Spark): 4234/s",
-            "@8 procs → 15044/s @32 procs = 0.89 efficiency, the hardware ceiling.",
         ]
+        if u:
+            lines += [
+                "",
+                f"**Secondary (unpinned local[{u['n_small']}] vs local[{u['n_big']}], {u['n_urls']} URLs):**",
+                f"{u['urls_per_sec_small']} → {u['urls_per_sec_big']} urls/sec, efficiency {u['scaling_efficiency']}.",
+                "Unpinned local[N] under-states the small run's real core usage (python",
+                "workers are processes OUTSIDE the N task slots), and at local[32] the",
+                "32 JVM threads + 32 python workers oversubscribe the 32 physical cores —",
+                "an artifact of sharing one box that dedicated-core executors don't have.",
+                "Raw kernel scaling on this machine (multiprocessing, no Spark): 4234/s",
+                "@8 procs → 15044/s @32 procs = 0.89 efficiency, the hardware ceiling.",
+            ]
+        else:
+            lines += ["", "(unpinned secondary skipped: wall budget exhausted)"]
     else:
         lines += ["(scaling run skipped: SPARK_GRAFT_SCALING=0)"]
+    soak = r.get("soak") or {}
+    if soak:
+        lines += [
+            "",
+            "## Multi-wave soak (link expansion, checkpoint-resume per wave)",
+            "",
+            f"- seeds: {soak['n_seeds']} URLs, waves run: {soak['waves']} (links_per_page=2; frontier grows then drains through the seen filter)",
+            f"- per-wave wall (s): {soak['wave_seconds']}",
+            f"- per-wave fetched rows: {soak['wave_fetched']}",
+            f"- per-wave urls/sec: {soak['wave_urls_per_sec']}",
+            f"- persistent RDD blocks after each wave: {soak['persistent_blocks_per_wave']}"
+            " (flat ⇒ the per-wave cache release holds at bench scale — the r2 leak's regression gate)",
+        ]
     lines += [
         "",
         "## Per-query wall times (noop sink, sf=" + str(r["sf"]) + ")",

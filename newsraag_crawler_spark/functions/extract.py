@@ -143,32 +143,45 @@ RFC822_PARSE_DUCK = "%d %b %Y %H:%M:%S"
 _RFC822_DOW_HEAD = r"^[A-Za-z]{3},\s*"
 _RFC822_TZ_TAIL = r"\s+(GMT|UTC|[+-]\d{4})$"
 _EPOCH_SHAPE = r"^\d{9,11}$"
+RFC822_PARSE_OFFSET_SPARK = "dd MMM yyyy HH:mm:ss Z"
+RFC822_PARSE_OFFSET_DUCK = "%d %b %Y %H:%M:%S %z"
 
 
 def structured_ts(pub: Column | str) -> Column:
     """RFC-822 pubDate or epoch-seconds string → timestamp (NULL on neither:
-    the caller coalesces the fuzzy chain behind this)."""
+    the caller coalesces the fuzzy chain behind this).
+
+    Numeric zone offsets are HONORED, not stripped (ADVICE r3: 'Mon, 01 Jan
+    2024 12:00:00 -0500' must yield 17:00 UTC, matching the reference's
+    feedparser → fromtimestamp(tz=utc) path, rss_template.py:140-152): the
+    offset-aware parse runs first; only literal GMT/UTC tails (which the
+    'Z' pattern cannot match) fall through to the offset-less parse, which
+    reads the residual local time as UTC — correct for those two names.
+    """
     p = F.trim(_c(pub))
-    stripped = F.regexp_replace(
-        F.regexp_replace(p, _RFC822_DOW_HEAD, ""), _RFC822_TZ_TAIL, ""
-    )
+    no_dow = F.regexp_replace(p, _RFC822_DOW_HEAD, "")
+    with_off = F.try_to_timestamp(no_dow, F.lit(RFC822_PARSE_OFFSET_SPARK))
+    stripped = F.regexp_replace(no_dow, _RFC822_TZ_TAIL, "")
     rfc = F.try_to_timestamp(stripped, F.lit(RFC822_PARSE_SPARK))
     epoch = F.when(p.rlike(_EPOCH_SHAPE), F.timestamp_seconds(p.cast("long")))
-    return F.coalesce(rfc, epoch)
+    return F.coalesce(with_off, rfc, epoch)
 
 
 def structured_ts_sql(pub: str) -> str:
     p = f"trim({pub})"
-    stripped = (
-        f"regexp_replace(regexp_replace({p}, '{_RFC822_DOW_HEAD}', ''), "
-        f"'{_RFC822_TZ_TAIL}', '')"
+    no_dow = f"regexp_replace({p}, '{_RFC822_DOW_HEAD}', '')"
+    # %z yields TIMESTAMPTZ; AT TIME ZONE 'UTC' renders it naive-UTC like
+    # the Spark side (session tz pinned to UTC)
+    with_off = (
+        f"(try_strptime({no_dow}, '{RFC822_PARSE_OFFSET_DUCK}') AT TIME ZONE 'UTC')"
     )
+    stripped = f"regexp_replace({no_dow}, '{_RFC822_TZ_TAIL}', '')"
     rfc = f"try_strptime({stripped}, '{RFC822_PARSE_DUCK}')"
     epoch = (
         f"CASE WHEN regexp_matches({p}, '{_EPOCH_SHAPE}') "
         f"THEN TIMESTAMP '1970-01-01 00:00:00' + {p}::BIGINT * INTERVAL 1 SECOND END"
     )
-    return f"COALESCE({rfc}, {epoch})"
+    return f"COALESCE({with_off}, {rfc}, {epoch})"
 
 
 # ---------------------------------------------------------------------------

@@ -53,7 +53,7 @@ def png_encode(img: np.ndarray) -> bytes:
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw, 3))
+        + _chunk(b"IDAT", zlib.compress(raw, _ZLIB_LEVEL))
         + _chunk(b"IEND", b"")
     )
 
@@ -81,6 +81,13 @@ def png_decode(data: bytes) -> np.ndarray:
 
 _LSY_MAGIC = b"LSY1"
 _QUANT_BITS = 6  # step 4 → MSE ≈ 1.25 → PSNR ≈ 47 dB (comfortably ≥ 40)
+# zlib level for payload encoding: the synthetic images carry ±20 uniform
+# noise and are essentially incompressible (measured: level 1/3/6 all reach
+# 18.5 KB vs 18.9 KB raw for ~400 µs/row; level 0 stores in 30 µs/row at
+# +2.4% size). Level 0 is still a REAL zlib stream inside a REAL PNG —
+# any decoder reads it; swap in a higher level when payloads are real
+# photographic images that actually compress.
+_ZLIB_LEVEL = 0
 
 
 def lossy_encode(img: np.ndarray) -> bytes:
@@ -88,7 +95,7 @@ def lossy_encode(img: np.ndarray) -> bytes:
     h, w, _ = img.shape
     shift = 8 - _QUANT_BITS
     q = (img >> shift).astype(np.uint8)
-    return _LSY_MAGIC + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 3)
+    return _LSY_MAGIC + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), _ZLIB_LEVEL)
 
 
 def lossy_decode(data: bytes) -> np.ndarray:
@@ -104,6 +111,18 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
     return png_encode(img) if fmt == "png" else lossy_encode(img)
 
 
+def lossy_roundtrip(img: np.ndarray) -> np.ndarray:
+    """decode(encode(img)) for the lossy codec WITHOUT the zlib round-trip —
+    quantize-then-dequantize is closed-form. Bit-identical to
+    ``lossy_decode(lossy_encode(img))`` (property-tested); the hot fetch
+    kernel uses this to derive post-codec pixels for phash while the oracle
+    path (sources.synthetic.fetch_payload_py) runs the REAL round-trip, so
+    the Spark-vs-oracle equality gates verify the shortcut every run.
+    Max value = ((255>>s)<<s) + 2^(s-1) ≤ 255, so no clip is needed."""
+    shift = 8 - _QUANT_BITS
+    return (((img >> shift) << shift) + (1 << (shift - 1))).astype(np.uint8)
+
+
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     return png_decode(data) if fmt == "png" else lossy_decode(data)
 
@@ -115,35 +134,53 @@ def synth_image(key: int, w: int, h: int) -> np.ndarray:
     portable_hash64_py(url) ^ global_seed.
     """
     rng = np.random.default_rng(key & 0xFFFFFFFFFFFFFFFF)
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = ((xx * 255 / max(w - 1, 1)) + (yy * 255 / max(h - 1, 1))) / 2
-    img = np.stack(
-        [
-            base,
-            np.roll(base, h // 3, axis=0),
-            255 - base,
-        ],
-        axis=-1,
-    )
+    # broadcast arithmetic instead of mgrid/stack/clip temporaries —
+    # bit-identical output (property: same float64 ops in the same order),
+    # ~25% cheaper in the hot fetch kernel
+    xx = np.arange(w) * 255 / max(w - 1, 1)
+    yy = np.arange(h) * 255 / max(h - 1, 1)
+    base = (xx[None, :] + yy[:, None]) / 2
+    img = np.empty((h, w, 3), dtype=np.float64)
+    img[:, :, 0] = base
+    img[:, :, 1] = np.roll(base, h // 3, axis=0)
+    img[:, :, 2] = 255 - base
     noise = rng.integers(-20, 21, size=(h, w, 3))
-    return np.clip(img + noise, 0, 255).astype(np.uint8)
+    img += noise
+    np.clip(img, 0, 255, out=img)
+    return img.astype(np.uint8)
 
 
 def phash64(img: np.ndarray) -> int:
-    """64-bit mean perceptual hash: 8x8 block-averaged grayscale vs median."""
-    gray = img.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
-    # block-average down to 8x8 via bincount (fast C scatter-sum)
-    ys = (np.arange(h) * 8 // h).astype(np.int64)
-    xs = (np.arange(w) * 8 // w).astype(np.int64)
-    idx = (ys[:, None] * 8 + xs[None, :]).ravel()
-    sums = np.bincount(idx, weights=gray.ravel(), minlength=64)
-    counts = np.bincount(idx, minlength=64)
-    blocks = (sums / np.maximum(counts, 1)).reshape(8, 8)
-    bits = (blocks > np.median(blocks)).flatten()
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
+    """64-bit mean perceptual hash: 8x8 block-averaged grayscale vs median.
+
+    Block sums are EXACT integer scatter-sums (sum of r+g+b per pixel, then
+    two ``np.add.reduceat`` passes over contiguous block spans — ~5× cheaper
+    than materializing a per-pixel index for bincount); only the final
+    per-block mean divides, so the result is order-independent and fully
+    deterministic.
+    """
+    h, w, _ = img.shape
+    # row/col offsets where the 8-way block index increments: block of row r
+    # is r*8//h, so block b starts at ceil(b*h/8) = -((-b*h)//8)
+    rb = -((-np.arange(8) * h) // 8)
+    cb = -((-np.arange(8) * w) // 8)
+    # channels are memory-adjacent in (h, w, 3): viewing a row as w*3 flat
+    # bytes, pixel-column block [cb_k, cb_{k+1}) is flat span [3·cb_k,
+    # 3·cb_{k+1}) — so one reduceat over the flat rows sums r+g+b AND the
+    # column blocks together, straight off the uint8 buffer (no h×w
+    # temporary; exact integer sums, order-independent)
+    flat = img.reshape(h, w * 3)
+    sums = np.add.reduceat(
+        np.add.reduceat(flat, rb, axis=0, dtype=np.uint32), cb * 3, axis=1
+    )
+    rcnt = np.diff(np.append(rb, h))
+    ccnt = np.diff(np.append(cb, w))
+    counts = rcnt[:, None] * ccnt[None, :]
+    blocks = sums / (3.0 * counts)
+    f = blocks.ravel()
+    p = np.partition(f, (31, 32))
+    bits = blocks > (0.5 * (p[31] + p[32]))  # median of 64 = mean of middles
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     # keep within signed int64 for Spark LongType
     return v - (1 << 64) if v >= (1 << 63) else v
 

@@ -14,15 +14,16 @@ Two drivers:
 - ``run_scale_wave``        — the production path: per-host politeness,
   Bloom-backed seen filter, skew salting. No global order.
 
-The fetch is the shared deterministic payload kernel
-(sources.synthetic.fetch_payload_py) run under ``mapInPandas`` — image bytes
-are born inside executor Arrow batches and written straight to parquet,
-never shuffled (SURVEY.md §7.3.4).
+The fetch derives all metadata columns JVM-side and runs only the pixel
+codec in an Arrow-batched pandas UDF (bit-compatible with the oracle kernel
+``sources.synthetic.fetch_payload_py``) — image bytes are born inside
+executor Arrow batches and written straight to parquet, never shuffled
+(SURVEY.md §7.3.4).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -39,40 +40,111 @@ CORPUS_FETCH_SCHEMA = (
 )
 
 
+def _codec_udf():
+    """Arrow-batched pixel codec: (fetch_hash, w, h, fmt) → struct(bytes,
+    phash). The ONLY Python in the fetch stage — everything string/hash
+    shaped is derived JVM-side in fetch_images. asNondeterministic forbids
+    Catalyst from cloning the expensive UDF into pushed-down predicates."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<bytes:binary,phash:long>")
+    def _px(fh: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+        from ..functions.images import encode_image, lossy_roundtrip, phash64, synth_image
+
+        bs: list = []
+        ps: list = []
+        for hv, wv, htv, fv in zip(fh.values, w.values, h.values, fmt.values):
+            img = synth_image(int(hv) & 0xFFFFFFFF, int(wv), int(htv))
+            bs.append(encode_image(img, fv))
+            # post-codec pixels: png is lossless (decode == img); lossy uses
+            # the closed-form quantize round-trip (== lossy_decode∘encode,
+            # verified against the oracle's real round-trip every gate run)
+            ps.append(phash64(img if fv == "png" else lossy_roundtrip(img)))
+        return pd.DataFrame({"bytes": bs, "phash": ps})
+
+    return _px.asNondeterministic()
+
+
 def fetch_images(scheduled: DataFrame, seed: int = 42, wave: int = 0) -> DataFrame:
     """Deterministic 'fetch' stage: scheduled (url, source_name, source_id,
-    seq) → input_hint corpus rows. mapInPandas, payload kernel shared with
-    the oracle."""
+    seq) → input_hint corpus rows.
 
-    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..sources.synthetic import fetch_payload_py
+    Split per VERDICT r3 #3: every metadata column — dims, fmt, caption,
+    image_id, embedding — is pure hash math over (url, source_name), so it
+    is derived as JVM column expressions (the same md5 derivations the
+    DuckDB oracle `_sql_fetch_metadata` mirrors); only the pixel codec
+    (synth → encode → phash) crosses into Python, carrying 4 narrow columns
+    in and (bytes, phash) out. Bit-compatible with the oracle kernel
+    ``sources.synthetic.fetch_payload_py`` (gated per-row by
+    tests/test_wave_oracle.py).
 
-        for pdf in batches:
-            n = len(pdf)
-            cols: dict = {
-                "image_id": [None] * n, "bytes": [None] * n, "w": [0] * n,
-                "h": [0] * n, "fmt": [None] * n, "caption": [None] * n,
-                "phash": [0] * n, "embedding": [None] * n,
-            }
-            for i, (url, sname) in enumerate(zip(pdf["url"], pdf["source_name"])):
-                p = fetch_payload_py(url, sname, seed)
-                cols["image_id"][i] = p["image_id"]
-                cols["bytes"][i] = p["bytes"]
-                cols["w"][i] = p["w"]
-                cols["h"][i] = p["h"]
-                cols["fmt"][i] = p["fmt"]
-                cols["caption"][i] = p["caption"]
-                cols["phash"][i] = p["phash"]
-                cols["embedding"][i] = p["embedding"]
-            out = pd.DataFrame(cols)
-            out["url"] = pdf["url"].values
-            out["source_id"] = pdf["source_id"].astype("int32").values
-            out["seq"] = pdf["seq"].astype("int64").values
-            out["wave"] = wave
-            yield out
+    Expression-inlining note: each md5-derived column lives in its OWN
+    projection and is referenced >1 time downstream, which stops Catalyst's
+    CollapseProject from inlining (and thus re-evaluating) the hash chains
+    — _fh feeds 5 columns, caption feeds image_id + output, image_id feeds
+    16 embedding lanes + output.
+    """
+    from ..functions.hashing import article_id, portable_hash64
+    from ..sources.synthetic import EMB_DIM, _TOPICS
 
-    cols = ["url", "source_name", "source_id", "seq"]
-    return scheduled.select(*cols).mapInPandas(_fetch, CORPUS_FETCH_SCHEMA)
+    base = scheduled.select("url", "source_name", "source_id", "seq").withColumn(
+        "_fh", portable_hash64(F.concat(F.lit("fetch:"), F.col("url")), salt=f"w{seed}:")
+    )
+    seg = F.regexp_extract(F.col("url"), "([^/]*)$", 1)
+    topics = F.array(*[F.lit(t) for t in _TOPICS])
+    meta = base.select(
+        "*",
+        (F.pmod(F.col("_fh"), F.lit(97)) + 32).cast("int").alias("w"),
+        (F.pmod(F.shiftright(F.col("_fh"), 8), F.lit(97)) + 32).cast("int").alias("h"),
+        F.when(F.pmod(F.shiftright(F.col("_fh"), 16), F.lit(10)) < 7, F.lit("png"))
+        .otherwise(F.lit("jpeg"))
+        .alias("fmt"),
+        F.concat(
+            F.element_at(topics, F.pmod(F.col("_fh"), F.lit(len(_TOPICS))).cast("int") + 1),
+            F.lit(" Analysis: "),
+            F.when(seg == "", F.lit("index")).otherwise(seg),
+            F.lit(" report "),
+            F.pmod(F.col("_fh"), F.lit(9973)).cast("string"),
+        ).alias("caption"),
+    )
+    meta = meta.withColumn(
+        "image_id", article_id(F.col("source_name"), F.col("caption"), F.col("url"))
+    )
+    emb = F.array(
+        *[
+            (
+                (
+                    F.pmod(
+                        portable_hash64(
+                            F.concat(F.col("image_id"), F.lit(f":{j}")), salt="emb:"
+                        ),
+                        F.lit(2001),
+                    )
+                    - 1000
+                )
+                / 1000.0
+            ).cast("float")
+            for j in range(EMB_DIM)
+        ]
+    )
+    meta = meta.withColumn("embedding", emb)
+    out = meta.withColumn(
+        "_px", _codec_udf()(F.col("_fh"), F.col("w"), F.col("h"), F.col("fmt"))
+    )
+    return out.select(
+        "image_id",
+        F.col("_px.bytes").alias("bytes"),
+        "w",
+        "h",
+        "fmt",
+        "caption",
+        F.col("_px.phash").alias("phash"),
+        "embedding",
+        "url",
+        F.col("source_id").cast("int").alias("source_id"),
+        F.col("seq").cast("long").alias("seq"),
+        F.lit(wave).cast("int").alias("wave"),
+    )
 
 
 # F1 article-URL classifier regexes (html_template.py:362-395) shared by the

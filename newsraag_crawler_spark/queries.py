@@ -1363,6 +1363,7 @@ _ITEM_BLOCK = "(?s)<item>(.*?)</item>"
 _ITEM_TITLE = "<title>([^<]*)</title>"
 _ITEM_LINK = "<link>([^<]*)</link>"
 _ITEM_AUTHOR = "<author>([^<]*)</author>"
+_ITEM_DC_CREATOR = "<dc:creator>([^<]*)</dc:creator>"
 _ITEM_CATEGORY = "<category>([^<]*)</category>"
 _ITEM_PUBDATE = "<pubDate>([^<]*)</pubDate>"
 _HTML_HREF = '(?i)<a[^>]*href="([^"]+)"'
@@ -1396,20 +1397,48 @@ def _synth_multifeed_xml(d: DataFrame) -> DataFrame:
             mod == 2,
             F.concat(F.lit("T"), i, F.lit(" on "), F.date_format(ts_k, "MM/dd/yyyy")),
         ).otherwise(F.concat(F.lit("T"), i, F.lit(f"x{k}")))
+        # RFC-822 rows alternate a literal-GMT tail with a NUMERIC zone
+        # offset (ADVICE r3: offsets must be honored, not stripped — a
+        # ' -0530' row shifts +05:30 to UTC; the gate catches any impl that
+        # strips the offset)
+        tz_tail = F.when(
+            F.pmod(F.col("doc_id") + F.lit(k), F.lit(2)) == 0, F.lit(" GMT")
+        ).otherwise(F.lit(" -0530"))
         pub = (
             F.when(mod == 2, F.lit("yesterday"))
             .when(mod == 1, F.unix_timestamp(ts_k).cast("string"))
-            .otherwise(F.concat(F.date_format(ts_k, RFC822_FMT_SPARK), F.lit(" GMT")))
+            .otherwise(F.concat(F.date_format(ts_k, RFC822_FMT_SPARK), tz_tail))
         )
+        # author rotates: plain <author>, a <dc:creator>-ONLY item (P1's
+        # entry.get('author', entry.get('dc_creator')) fallback,
+        # rss_template.py:111), or neither (author stays NULL)
+        authnum = F.pmod(F.col("doc_id") + F.lit(k), F.lit(5))
+        auth_el = (
+            F.when(
+                authnum == 4,
+                F.concat(F.lit("<dc:creator>dc"), authnum.cast("string"), F.lit("</dc:creator>")),
+            )
+            .when(authnum == 3, F.lit(""))
+            .otherwise(F.concat(F.lit("<author>auth"), authnum.cast("string"), F.lit("</author>")))
+        )
+        # a second <category> on even items exercises the tags array
+        # (_extract_tags collects every term, rss_template.py:282-290)
+        cat2 = F.when(
+            F.pmod(F.col("doc_id") + F.lit(k), F.lit(2)) == 0,
+            F.concat(
+                F.lit("<category>kw"),
+                F.pmod(F.col("doc_id"), F.lit(4)).cast("string"),
+                F.lit("</category>"),
+            ),
+        ).otherwise(F.lit(""))
         return F.concat(
             F.lit("<item><title>"), title, F.lit("</title>"),
             F.lit("<br>" if broken else ""),
             F.lit("<link>https://"), host, F.lit("/a/"), i, F.lit(f"/{k}"),
-            F.lit("</link><author>auth"),
-            F.pmod(F.col("doc_id") + F.lit(k), F.lit(5)).cast("string"),
-            F.lit("</author><category>cat"),
+            F.lit("</link>"), auth_el, F.lit("<category>cat"),
             F.pmod(F.col("doc_id") + F.lit(k), F.lit(3)).cast("string"),
-            F.lit("</category><pubDate>"), pub, F.lit("</pubDate></item>"),
+            F.lit("</category>"), cat2,
+            F.lit("<pubDate>"), pub, F.lit("</pubDate></item>"),
         )
 
     def items(broken: bool):
@@ -1461,15 +1490,25 @@ def _sql_multifeed() -> str:
             f"CASE WHEN (doc_id + {k}) % 3 = 2 THEN 'yesterday' "
             f"WHEN (doc_id + {k}) % 3 = 1 THEN "
             f"date_diff('second', TIMESTAMP '1970-01-01 00:00:00', {t})::VARCHAR "
-            f"ELSE strftime({t}, '{RFC822_FMT_DUCK}') || ' GMT' END"
+            f"ELSE strftime({t}, '{RFC822_FMT_DUCK}') || "
+            f"(CASE WHEN (doc_id + {k}) % 2 = 0 THEN ' GMT' ELSE ' -0530' END) END"
         )
         br = "<br>" if broken else ""
+        auth_el = (
+            f"CASE WHEN (doc_id + {k}) % 5 = 4 THEN '<dc:creator>dc' || "
+            f"((doc_id + {k}) % 5)::VARCHAR || '</dc:creator>' "
+            f"WHEN (doc_id + {k}) % 5 = 3 THEN '' "
+            f"ELSE '<author>auth' || ((doc_id + {k}) % 5)::VARCHAR || '</author>' END"
+        )
+        cat2 = (
+            f"CASE WHEN (doc_id + {k}) % 2 = 0 THEN '<category>kw' || "
+            f"(doc_id % 4)::VARCHAR || '</category>' ELSE '' END"
+        )
         return (
             f"'<item><title>' || ({title}) || '</title>{br}<link>https://' || host || "
-            f"'/a/' || doc_id::VARCHAR || '/{k}</link><author>auth' || "
-            f"((doc_id + {k}) % 5)::VARCHAR || '</author><category>cat' || "
-            f"((doc_id + {k}) % 3)::VARCHAR || '</category><pubDate>' || ({pub}) || "
-            f"'</pubDate></item>'"
+            f"'/a/' || doc_id::VARCHAR || '/{k}</link>' || ({auth_el}) || '<category>cat' || "
+            f"((doc_id + {k}) % 3)::VARCHAR || '</category>' || ({cat2}) || "
+            f"'<pubDate>' || ({pub}) || '</pubDate></item>'"
         )
 
     def items(broken: bool) -> str:
@@ -1507,8 +1546,14 @@ def q_rss_items(spark: SparkSession, sf_dir: str, max_items: int = 2) -> DataFra
     feed-shaped page becomes a row (reference yields each entry,
     `rss_template.py:93-129`), capped at entries[:max_items]
     (`rss_extractor.py:56` — the cap binds: feeds carry up to 3 items).
-    Per-entry projection: title/link/author/category (P1) plus the C6
-    STRUCTURED date path (RFC-822 pubDate or epoch seconds,
+    Per-entry projection: title/link/author/category (P1) — author falls
+    back to <dc:creator> and may be NULL (``entry.get('author',
+    entry.get('dc_creator'))``, rss_template.py:111); ``tags`` collects
+    EVERY <category> term into a list, NULL when none (_extract_tags,
+    rss_template.py:282-290), serialized with to_json for the cross-engine
+    value-hash (the operator-level column is a true array<string>; see
+    tests/test_entry.py) — plus the C6 STRUCTURED date path (RFC-822
+    pubDate with honored numeric offsets, or epoch seconds,
     `rss_template.py:140-152`) coalesced AHEAD of the C7 fuzzy chain."""
     from .functions.extract import fuzzy_published_ts, structured_ts, xml_repair
 
@@ -1529,13 +1574,20 @@ def q_rss_items(spark: SparkSession, sf_dir: str, max_items: int = 2) -> DataFra
     pub = F.regexp_extract("item_xml", _ITEM_PUBDATE, 1)
     st = structured_ts(pub)
     fz, fpat = fuzzy_published_ts(F.col("item_xml"), title)
+    author = F.coalesce(
+        F.nullif(F.regexp_extract("item_xml", _ITEM_AUTHOR, 1), F.lit("")),
+        F.nullif(F.regexp_extract("item_xml", _ITEM_DC_CREATOR, 1), F.lit("")),
+    )
+    tags_arr = F.regexp_extract_all("item_xml", F.lit(_ITEM_CATEGORY), F.lit(1))
+    tags = F.when(F.size(tags_arr) > 0, tags_arr)  # None when no terms
     return items.select(
         "feed_id",
         "item_rank",
         title.alias("title"),
         F.regexp_extract("item_xml", _ITEM_LINK, 1).alias("link"),
-        F.regexp_extract("item_xml", _ITEM_AUTHOR, 1).alias("author"),
+        author.alias("author"),
         F.regexp_extract("item_xml", _ITEM_CATEGORY, 1).alias("category"),
+        F.to_json(tags).alias("tags"),
         F.coalesce(st, fz).alias("published_ts"),
         F.when(st.isNotNull(), F.lit("structured"))
         .otherwise(F.concat(F.lit("fuzzy_p"), fpat.cast("string")))
@@ -1566,8 +1618,12 @@ it AS (SELECT feed_id, k::INT AS item_rank, items[k + 1] AS item_xml
        FROM ex, unnest(range(0, least(len(items), 2))) AS t(k))
 SELECT feed_id, item_rank, {title} AS title,
   regexp_extract(item_xml, '{_ITEM_LINK}', 1) AS link,
-  regexp_extract(item_xml, '{_ITEM_AUTHOR}', 1) AS author,
+  COALESCE(NULLIF(regexp_extract(item_xml, '{_ITEM_AUTHOR}', 1), ''),
+           NULLIF(regexp_extract(item_xml, '{_ITEM_DC_CREATOR}', 1), '')) AS author,
   regexp_extract(item_xml, '{_ITEM_CATEGORY}', 1) AS category,
+  CASE WHEN len(regexp_extract_all(item_xml, '{_ITEM_CATEGORY}', 1)) > 0
+       THEN CAST(to_json(regexp_extract_all(item_xml, '{_ITEM_CATEGORY}', 1)) AS VARCHAR)
+       END AS tags,
   COALESCE({st}, {fz}) AS published_ts,
   CASE WHEN ({st}) IS NOT NULL THEN 'structured'
        ELSE 'fuzzy_p' || ({fpat})::VARCHAR END AS date_path

@@ -102,6 +102,29 @@ def test_fetch_partition_count_explicit(spark):
     assert n_parts == expected, (n_parts, expected)
 
 
+def test_fetch_python_stage_is_narrow(spark):
+    """VERDICT r3 #3: the fetch stage's Python projection must carry ONLY
+    the 4 narrow codec inputs (fetch hash, dims, fmt) — metadata (caption,
+    image_id, 16-lane embedding) is JVM column math, evaluated exactly once
+    per row (18 md5s total: _fh + image_id + 16 lanes; no CollapseProject
+    re-inlining of the hash chains)."""
+    from newsraag_crawler_spark.operators.wave import fetch_images
+
+    d = spark.range(100).select(
+        F.concat(F.lit("https://h"), F.col("id").cast("string"),
+                 F.lit(".example.com/articles/"), F.col("id").cast("string")).alias("url"),
+        F.lit("src0").alias("source_name"), F.lit(0).alias("source_id"),
+        F.col("id").alias("seq"))
+    c = fetch_images(d, seed=42)
+    phys = c._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("ArrowEvalPython") == 1, phys
+    arrow_line = next(ln for ln in phys.splitlines() if "ArrowEvalPython" in ln)
+    assert "_fh#" in arrow_line and "fmt#" in arrow_line, arrow_line
+    assert "url#" not in arrow_line and "caption" not in arrow_line, arrow_line
+    opt = c._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("md5") == 18, opt.count("md5")
+
+
 def test_simhash_plan_is_pure_jvm(spark):
     """Relational SimHash: no Python evaluation anywhere in the plan, and
     exactly one exchange (the groupBy on the doc id with partial agg)."""
