@@ -5,11 +5,13 @@ entry(spark)  — flagship: an end-to-end reference-equivalence crawl cycle
                 synthesized from sf0.001 documents.
 queries()     — one entry per implemented operator (SURVEY.md §2), each
                 (spark, sf_dir) -> DataFrame.
-oracle_sql()  — DuckDB-equivalent SQL per query (same column names/types);
-                only binary-codec outputs (image_stats, image_resize,
-                crawl_wave_scale payload bytes) are intentionally absent —
-                those carry pure-Python golden oracles in tests/test_images.py
-                and tests/test_wave_oracle.py instead.
+oracle_sql()  — DuckDB-equivalent SQL per query (same column names/types).
+                Every catalog query is SQL-gated (r4: image_stats and
+                image_resize now gate their decoded-dimension/fmt outputs
+                in SQL too); binary pixel CONTENT (bytes, mean_lum,
+                pixel-phash) is not SQL-expressible and carries pure-Python
+                golden oracles in tests/test_images.py and
+                tests/test_wave_oracle.py.
 """
 
 from __future__ import annotations

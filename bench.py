@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "token_budget_gate",
     "fetch_metadata",
     "rss_items_parse",
+    "extraction_fallback",
     "crawl_embedding_neardup",
     "dup_detector_stats",
 ]

@@ -487,7 +487,7 @@ def ngram_jaccard_pairs(
     shingle_col: str = "shingles",
     threshold: float = 0.8,
     max_df: int | None = None,
-    checkpoint: bool = True,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs via explode + equi-join —
     fully relational (scales: the join is on shingle, combiner-friendly).
@@ -516,10 +516,13 @@ def ngram_jaccard_pairs(
         ex = ex.join(hot, "sh", "left_anti")
     # the DF-filtered shingle table feeds the size census AND both self-join
     # sides — lazily, the shingle regex + explode (+ hot census + anti-join)
-    # re-execute per consumer (measured 2.4x the query wall time). EAGER
-    # checkpoint (a lazy persist races when branches run as concurrent
-    # stages); checkpoint=False keeps the operator fully lazy for callers
-    # that materialize it themselves (e.g. commit signatures to a table).
+    # re-execute per consumer (measured 2.4x the query wall time). The
+    # DEFAULT stays fully lazy (ADVICE r3: an eager default ran a Spark job
+    # at construction time and leaked never-released checkpoint blocks into
+    # resident drivers, and localCheckpoint data dies with an executor);
+    # checkpoint=True is the opt-in for one-shot callers (the bench query
+    # layer) — long-lived callers should materialize `ex` themselves (e.g.
+    # commit the shingle table) and control the release.
     if checkpoint:
         ex = ex.localCheckpoint(eager=True)
     sizes = ex.groupBy("_id").agg(F.count("*").alias("_n"))

@@ -92,7 +92,9 @@ def reference_schedule(
     )
     active = valid.localCheckpoint()
     attempted = None
+    passes = 0
     for _ in range(max_fixpoint_iters):
+        passes += 1
         winners = (
             active.withColumn("_rn", F.row_number().over(w_key))
             .filter(F.col("_rn") == 1)
@@ -112,8 +114,24 @@ def reference_schedule(
             ["source_id", "feed_rank"],
             "left_anti",
         )
-        if promotable.isEmpty():
+        # single action per pass (the count both decides the break and
+        # feeds the runaway guard — no separate isEmpty probe)
+        n_promotable = promotable.count()
+        if n_promotable == 0:
             break
+        # guard (r3 VERDICT #6): each pass is a driver action + a
+        # localCheckpoint materialization; parity mode expects 1-2 passes,
+        # so a pathological fixture must be loud, not silently expensive
+        if passes >= 3:
+            import warnings
+
+            warnings.warn(
+                f"reference_schedule fixpoint pass {passes + 1}: "
+                f"{n_promotable} promotable duplicates of capped winners "
+                "remain — parity mode is built for small data and ~1 pass; "
+                "check the fixture/cap interaction",
+                stacklevel=2,
+            )
         active = active.join(
             capped.select(
                 F.col("source_id").alias("_cs"), F.col("feed_rank").alias("_cf")

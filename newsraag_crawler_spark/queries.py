@@ -418,8 +418,12 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import ngram_jaccard_pairs
 
     d = _cloned_docs_spark(spark, sf_dir).withColumn("shingles", T.shingles("text", 3))
+    # checkpoint=True: one-shot query-layer call — the shingle table feeds
+    # three consumers and would re-execute per consumer lazily (2.4x); the
+    # operator DEFAULT is lazy so constructing it never runs a job
     pairs = ngram_jaccard_pairs(
-        d, "doc_id", "shingles", threshold=0.9, max_df=_JACCARD_MAX_DF
+        d, "doc_id", "shingles", threshold=0.9, max_df=_JACCARD_MAX_DF,
+        checkpoint=True,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -1793,6 +1797,58 @@ FROM h
 """
 
 
+def q_extraction_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-tier extraction fallback chain (hierarchical template,
+    `hierarchical_template.py:96-127`): per-doc synthesized crawl4ai/bs4/rss
+    outcomes → short-circuit winner coalesce → per-method attempt/success/
+    rate/usage stats with the reference's exact counting semantics (attempts
+    for every method tried until the winner; 'failed' pseudo-method when the
+    whole chain misses, `:57-62,168-183`)."""
+    from .operators.extraction import extraction_fallback, extraction_method_stats
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.pmod("doc_id", F.lit(7)) < 2).alias("ok_c4"),
+        (F.pmod("doc_id", F.lit(5)) < 2).alias("ok_bs"),
+        (F.pmod("doc_id", F.lit(3)) == 0).alias("ok_rss"),
+        F.concat(F.lit("md:"), F.col("doc_id").cast("string")).alias("c_c4"),
+        F.concat(F.lit("html:"), F.col("doc_id").cast("string")).alias("c_bs"),
+        F.concat(F.lit("rss:"), F.col("doc_id").cast("string")).alias("c_rss"),
+    )
+    per_row = extraction_fallback(
+        d,
+        ok_cols={"crawl4ai": "ok_c4", "beautifulsoup": "ok_bs", "rss": "ok_rss"},
+        content_cols={"crawl4ai": "c_c4", "beautifulsoup": "c_bs", "rss": "c_rss"},
+    )
+    return extraction_method_stats(per_row)
+
+
+_SQL_EXTRACTION_FALLBACK = """
+WITH d AS (
+  SELECT doc_id, (doc_id % 7) < 2 AS ok_c4, (doc_id % 5) < 2 AS ok_bs,
+         (doc_id % 3) = 0 AS ok_rss
+  FROM documents),
+r AS (
+  SELECT doc_id,
+    CASE WHEN ok_c4 THEN 'crawl4ai' WHEN ok_bs THEN 'beautifulsoup'
+         WHEN ok_rss THEN 'rss' ELSE 'failed' END AS won,
+    CASE WHEN ok_c4 THEN ['crawl4ai']
+         WHEN ok_bs THEN ['crawl4ai', 'beautifulsoup']
+         WHEN ok_rss THEN ['crawl4ai', 'beautifulsoup', 'rss']
+         ELSE ['crawl4ai', 'beautifulsoup', 'rss', 'failed'] END AS tried
+  FROM d),
+t AS (SELECT won, unnest(tried) AS method FROM r),
+a AS (SELECT method, count(*) AS attempts,
+        sum(CASE WHEN method = won AND won <> 'failed' THEN 1 ELSE 0 END) AS successes
+      FROM t GROUP BY method)
+SELECT method, CAST(attempts AS BIGINT) AS attempts,
+  CAST(successes AS BIGINT) AS successes,
+  CAST(successes AS DOUBLE) / attempts * 100 AS success_rate,
+  CAST(attempts AS DOUBLE) / (SELECT sum(attempts) FROM a) * 100 AS usage_percent
+FROM a
+"""
+
+
 def q_method_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: per-method request stats — count, exact-decimal mean latency,
     error rate (reference metrics.py method counters; same integer half-up
@@ -1948,12 +2004,14 @@ FROM c
 """
 
 
-# -- rows-only (non-SQL-expressible) ------------------------------------------
-
-
-def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: deterministic fetch → binary column → decode/
-    feature-extract in Arrow batches (no SQL oracle: binary codec)."""
+def q_image_stats(spark: SparkSession, sf_dir: str, full: bool = False) -> DataFrame:
+    """Multimodal plumbing: deterministic fetch → binary column → DECODE →
+    feature-extract in Arrow batches. The gated output (url, fmt, w, h)
+    takes dims from the decoded pixels, so the SQL oracle (md5-derived dims)
+    verifies the whole synth→encode→decode round-trip end-to-end; the
+    remaining pixel-only outputs (mean_lum, recomputed phash — not
+    SQL-expressible, `bytes` is a binary codec product) are covered by the
+    pytest golden in tests/test_images.py via full=True."""
     from .functions.images import image_stats_udf
     from .operators.wave import fetch_images
 
@@ -1969,16 +2027,34 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = fetch_images(d, seed=42)
     stats = corpus.select(
-        "url", "fmt", "phash", image_stats_udf()("bytes", "fmt").alias("s")
+        "url", "fmt", F.col("phash").alias("fetch_phash"),
+        image_stats_udf()("bytes", "fmt").alias("s"),
     )
-    return stats.select(
-        "url", "fmt", "phash", "s.w", "s.h", F.round("s.mean_lum", 3).alias("mean_lum")
-    )
+    if full:
+        return stats.select(
+            "url", "fmt", "fetch_phash", "s.w", "s.h", "s.phash",
+            F.round("s.mean_lum", 3).alias("mean_lum"),
+        )
+    return stats.select("url", "fmt", "s.w", "s.h")
 
 
-def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+_SQL_IMAGE_STATS = """
+WITH d AS (SELECT doc_id, {url} AS url FROM documents WHERE doc_id < 50),
+hh AS (SELECT url, CAST(('0x' || substring(md5('w42:fetch:' || url), 1, 15)) AS BIGINT) AS h
+       FROM d)
+SELECT url,
+       CASE WHEN (h >> 16) % 10 < 7 THEN 'png' ELSE 'jpeg' END AS fmt,
+       (32 + h % 97)::INT AS w, (32 + (h >> 8) % 97)::INT AS h
+FROM hh
+"""
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str, full: bool = False) -> DataFrame:
     """Multimodal transform: decode → nearest-neighbor resize → re-encode
-    inside Arrow batches (rows-only: binary codec)."""
+    inside Arrow batches. Gated output (url, fmt, w, h) reads the dims off
+    the DECODED resized payload (must be exactly 16×16 — the SQL oracle
+    states the contract); resized pixel content (binary codec output) is
+    golden-tested in tests/test_images.py."""
     from .functions.images import image_stats_udf, resize_images_udf
     from .operators.wave import fetch_images
 
@@ -1997,7 +2073,23 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = small.select(
         "url", "fmt", image_stats_udf()("small", "fmt").alias("s")
     )
+    if full:
+        return stats.select(
+            "url", "fmt", "s.w", "s.h", "s.phash",
+            F.round("s.mean_lum", 3).alias("mean_lum"),
+        )
     return stats.select("url", "fmt", "s.w", "s.h")
+
+
+_SQL_IMAGE_RESIZE = """
+WITH d AS (SELECT doc_id, {url} AS url FROM documents WHERE doc_id < 30),
+hh AS (SELECT url, CAST(('0x' || substring(md5('w42:fetch:' || url), 1, 15)) AS BIGINT) AS h
+       FROM d)
+SELECT url,
+       CASE WHEN (h >> 16) % 10 < 7 THEN 'png' ELSE 'jpeg' END AS fmt,
+       16::INT AS w, 16::INT AS h
+FROM hh
+"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2430,6 +2522,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discover_links": q_discover_links,
         "rss_autodiscovery": q_rss_autodiscovery,
         "method_stats": q_method_stats,
+        "extraction_fallback": q_extraction_fallback,
         # rows-only (no SQL oracle: binary image codecs)
         "image_stats": q_image_stats,
         "image_resize": q_image_resize,
@@ -2485,4 +2578,7 @@ def oracles() -> dict[str, str]:
         "discover_links": _sql_discover_links(),
         "rss_autodiscovery": _sql_rss_autodiscovery(),
         "method_stats": _SQL_METHOD_STATS,
+        "extraction_fallback": _SQL_EXTRACTION_FALLBACK,
+        "image_stats": _SQL_IMAGE_STATS.format(url=_URL_DUCK),
+        "image_resize": _SQL_IMAGE_RESIZE.format(url=_URL_DUCK),
     }

@@ -80,28 +80,53 @@ def stream_crawl(
     checkpoint_dir: str,
     seed: int = 42,
     available_now: bool = True,
+    delay_s: float = 1.0,
+    schedule_table=None,
 ):
-    """End-to-end streaming crawl: ingest → canonicalize → streaming dedup →
-    per-micro-batch fetch + snapshot commit.
+    """End-to-end streaming crawl: ingest → canonicalize → stateful per-host
+    rate limiter → per-micro-batch dedup + fetch + snapshot commit.
+
+    Politeness is enforced IN the stream (r3 VERDICT #9): the
+    applyInPandasWithState token bucket (streaming.stateful) assigns every
+    URL a per-host slot ≥ delay_s after the host's previous one, with the
+    bucket persisted across micro-batches and checkpoint restarts — the
+    exact cure for the reference RateLimiter's reset-per-run shape
+    (`rate_limiter.py:20`).
+
+    The limiter is deliberately the ONLY streaming-stateful operator:
+    Structured Streaming does not support chaining applyInPandasWithState
+    behind another stateful op (e.g. dropDuplicatesWithinWatermark), so
+    dedup lives where it is already exact — dropDuplicates on the SURT key
+    inside the micro-batch plus the durable seen-table anti-join across
+    batches (foreachBatch batches commit serially, so batch N+1 always
+    sees batch N's keys). ``dedup_stream`` remains available for
+    fetch-free pipelines that want early in-stream dedup.
 
     foreachBatch gives each micro-batch to the BATCH fetch path, so the
-    engine has exactly one fetch/dedup implementation; the streaming layer
-    only adds ingestion, incremental dedup state, and restart-from-
-    checkpoint.
+    engine has exactly one fetch implementation. When ``schedule_table``
+    is given, the limiter's (host, scheduled_at_s, wait_s) assignments are
+    committed per batch — the politeness audit log (K5 metrics analogue).
     """
     from ..operators.wave import fetch_images
+    from .stateful import rate_limit_stream
 
-    stream = dedup_stream(canonicalize_stream(read_frontier_stream(spark, input_dir)))
+    stream = rate_limit_stream(
+        canonicalize_stream(read_frontier_stream(spark, input_dir)), delay_s=delay_s
+    )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        # exact cross-batch dedup against the durable seen table (streaming
-        # state handles within-watermark dups; this is the durable layer)
+        # within-batch first-occurrence dedup on the canonical key, then the
+        # exact durable layer (see docstring)
+        batch_df = batch_df.dropDuplicates(["surt_url"])
         if seen_table.exists():
             batch_df = batch_df.join(
                 seen_table.read().select(F.col("key").alias("surt_url")),
                 "surt_url",
                 "left_anti",
             )
+        # persist (not localCheckpoint: released below — a per-batch
+        # checkpoint would accumulate blocks over a long-running stream)
+        batch_df = batch_df.persist()
         scheduled = batch_df.select(
             "url",
             F.concat(F.lit("src"), F.col("source_id").cast("string")).alias(
@@ -116,11 +141,19 @@ def stream_crawl(
             batch_df.select(F.col("surt_url").alias("key")),
             lineage={"batch_id": batch_id, "op": "mark_seen"},
         )
+        if schedule_table is not None:
+            schedule_table.append(
+                batch_df.select(
+                    "host", "url", "arrival_s", "scheduled_at_s", "wait_s"
+                ).withColumn("batch_id", F.lit(batch_id)),
+                lineage={"batch_id": batch_id, "op": "politeness_log"},
+            )
+        batch_df.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+        .outputMode("append")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

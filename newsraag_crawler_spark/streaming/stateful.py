@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -40,6 +41,10 @@ RATE_LIMIT_OUTPUT = StructType(
         StructField("arrival_s", DoubleType()),
         StructField("scheduled_at_s", DoubleType()),
         StructField("wait_s", DoubleType()),
+        # passthrough for the full stream pipeline (stream_crawl): absent
+        # input columns surface as 0 / NULL
+        StructField("source_id", IntegerType()),
+        StructField("surt_url", StringType()),
     ]
 )
 _STATE = StructType(
@@ -64,10 +69,15 @@ def rate_limit_stream(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         next_free, served = state.get if state.exists else (float("-inf"), 0)
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(
+        # applyInPandasWithState may deliver ONE group as several
+        # arbitrarily-ordered chunks; a per-chunk sort would let
+        # later-arriving URLs jump the documented (ts, feed_rank, url)
+        # order (ADVICE r3). Group sizes are politeness-bounded (a host's
+        # per-batch rows are capped upstream), so concatenating before the
+        # single sort is safe on memory.
+        parts = [pdf for pdf in pdfs if not pdf.empty]
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True).sort_values(
                 [ts_col, "feed_rank", "url"], kind="stable"
             ).reset_index(drop=True)
             t = pdf[ts_col].astype("int64").to_numpy() / 1e9
@@ -82,7 +92,7 @@ def rate_limit_stream(
             sched = delay_s * idx + np.maximum.accumulate(u)
             next_free = float(sched[-1] + delay_s)
             served += n
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
                     "host": key[0],
                     "url": pdf["url"],
@@ -90,9 +100,16 @@ def rate_limit_stream(
                     "arrival_s": t,
                     "scheduled_at_s": sched,
                     "wait_s": sched - t,
+                    "source_id": (
+                        pdf["source_id"].astype("int32")
+                        if "source_id" in pdf
+                        else np.zeros(n, dtype="int32")
+                    ),
+                    "surt_url": (
+                        pdf["surt_url"] if "surt_url" in pdf else [None] * n
+                    ),
                 }
             )
-            yield out
         state.update((next_free if next_free > float("-inf") else 0.0, served))
 
     return frontier.groupBy(host_col).applyInPandasWithState(

@@ -98,9 +98,9 @@ def test_image_stats_query_matches_python_golden(spark):
     from newsraag_crawler_spark.queries import q_image_stats
     from newsraag_crawler_spark.sources.synthetic import fetch_payload_py
 
-    rows = q_image_stats(spark, "/root/testdata/sf0.001").collect()
+    rows = q_image_stats(spark, "/root/testdata/sf0.001", full=True).collect()
     assert len(rows) == 50
-    from newsraag_crawler_spark.functions.images import decode_image
+    from newsraag_crawler_spark.functions.images import decode_image, phash64
 
     for r in rows:
         # pixels/fmt/phash depend only on (seed, url) — source only shapes
@@ -109,7 +109,10 @@ def test_image_stats_query_matches_python_golden(spark):
         img = decode_image(payload["bytes"], payload["fmt"])
         assert (r.w, r.h) == (img.shape[1], img.shape[0])
         assert r.fmt == payload["fmt"]
-        assert r.phash == payload["phash"]
+        assert r.fetch_phash == payload["phash"]
+        # the stats UDF recomputes phash from the DECODED payload — must
+        # agree with the fetch kernel's closed-form round-trip value
+        assert r.phash == payload["phash"] == phash64(img)
         assert abs(r.mean_lum - round(float(img.astype(np.float64).mean()), 3)) < 1e-9
 
 
@@ -118,10 +121,15 @@ def test_image_resize_query_matches_python_golden(spark):
     from newsraag_crawler_spark.queries import q_image_resize
     from newsraag_crawler_spark.sources.synthetic import fetch_payload_py
 
-    rows = q_image_resize(spark, "/root/testdata/sf0.001").collect()
+    from newsraag_crawler_spark.functions.images import phash64
+
+    rows = q_image_resize(spark, "/root/testdata/sf0.001", full=True).collect()
     assert len(rows) == 30
     for r in rows:
         assert (r.w, r.h) == (16, 16)
         payload = fetch_payload_py(r.url, "x", 42)
         small = resize_nn(decode_image(payload["bytes"], payload["fmt"]), 16, 16)
         assert small.shape == (16, 16, 3)
+        if payload["fmt"] == "png":  # lossless: resized pixel content exact
+            assert r.phash == phash64(small)
+            assert abs(r.mean_lum - round(float(small.astype(np.float64).mean()), 3)) < 1e-9

@@ -80,6 +80,29 @@ def test_chained_promotion(spark):
     assert got == exp
 
 
+def test_deep_promotion_cascade_warns_but_stays_correct(spark):
+    """Adversarial duplicate-across-capped-sources chain (r3 VERDICT #6):
+    five cap=1 sources all listing X force a 4-pass fixpoint — the >3-pass
+    runaway guard must WARN (each pass is a driver action) while the result
+    still matches the sequential oracle exactly."""
+    import warnings as _w
+
+    sources = [_src(s, cap=1) for s in range(5)] + [_src(5, cap=5)]
+    cands = []
+    for s in range(5):
+        cands.append(_cand(s, 0, f"https://h.x/fill{s}"))  # eats the cap
+        cands.append(_cand(s, 1, "https://h.x/X"))  # capped out every time
+    cands.append(_cand(5, 0, "https://h.x/X"))  # finally fetched here
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got, exp = _run_both(spark, sources, cands)
+    assert exp[0][-1] == "https://h.x/X"
+    assert got == exp
+    assert any("fixpoint pass" in str(r.message) for r in rec), (
+        "expected the >3-pass guard to warn"
+    )
+
+
 @pytest.mark.parametrize("world_seed", [1, 2, 3, 4, 5])
 def test_random_worlds_match_oracle(spark, world_seed):
     rng = random.Random(world_seed)

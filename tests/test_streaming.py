@@ -144,6 +144,53 @@ def test_late_data_dropped_past_watermark(spark, dirs):
     assert second.get((base, "h.example.com")) == [3]
 
 
+def test_stream_crawl_enforces_per_host_politeness(spark, dirs):
+    """r3 VERDICT #9: the FULL stream pipeline (ingest → canonicalize →
+    stateful rate limiter → dedup+fetch) must space each host's slots by
+    >= delay across TWO micro-batch runs sharing one checkpoint, while the
+    other host schedules independently."""
+    input_dir, ckpt, tmp = dirs
+    corpus_t = SnapshotTable(spark, str(tmp / "corpus"))
+    seen_t = SnapshotTable(spark, str(tmp / "seen"))
+    sched_t = SnapshotTable(spark, str(tmp / "sched"))
+
+    def run_once():
+        q = fs.stream_crawl(
+            spark, input_dir, corpus_t, seen_t, ckpt,
+            delay_s=7.0, schedule_table=sched_t,
+        )
+        q.awaitTermination(120)
+
+    _write_batch(
+        spark, input_dir,
+        [f"https://A.example.com/articles/{i}" for i in range(3)]
+        + [f"https://B.example.com/articles/{i}" for i in range(2)],
+    )
+    run_once()
+    _write_batch(
+        spark, input_dir,
+        ["https://A.example.com/articles/99", "https://B.example.com/articles/99"],
+        base_rank=100,
+    )
+    run_once()
+
+    rows = sched_t.read().collect()
+    assert len(rows) == 7
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    for host, hrows in by_host.items():
+        slots = sorted(r.scheduled_at_s for r in hrows)
+        assert all(b - a >= 7.0 - 1e-6 for a, b in zip(slots, slots[1:])), (host, slots)
+        # the batch-2 row queued BEHIND batch 1's bucket, not a fresh one
+        b2 = [r.scheduled_at_s for r in hrows if r.batch_id >= 1]
+        b1_max = max(r.scheduled_at_s for r in hrows if r.batch_id == 0)
+        assert b2 and min(b2) >= b1_max + 7.0 - 1e-6, (host, slots)
+    # fetch ran for every scheduled row, dedup+seen intact
+    assert corpus_t.read().count() == 7
+    assert seen_t.read().distinct().count() == 7
+
+
 def test_stateful_rate_limiter_bucket_persists_across_batches(spark, dirs):
     """applyInPandasWithState token bucket: within a batch, per-host slots
     are >= delay apart; across micro-batches (separate availableNow runs
