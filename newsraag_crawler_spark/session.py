@@ -51,6 +51,11 @@ def build_session(
         # payloads stays ~tens of MB, not GBs (SURVEY.md §7.3.4)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
+        # NOTE on fresh per-task workers (reuse=false in bench stages): a
+        # custom preloading daemon module was measured and REJECTED — forked
+        # workers inherit the daemon's page-cache/pyc state, so the
+        # pandas+pyarrow import costs ~50 ms/task, and the bigger preloaded
+        # parent image made 64-task spawn slightly SLOWER (2.8 s vs 1.5 s).
         # Deliberately MODEST heap: on this virtualized host, large heaps
         # (32g+) collapse 32-thread JVM throughput 4-8x — G1 touching tens
         # of GB of fresh pages causes a page-fault storm (measured:
