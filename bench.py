@@ -343,17 +343,21 @@ def _pinned_scaling(n_pin: int, pairs: int) -> dict:
         n_big_rows, tb = _wave_subprocess(8, n_pin, pin=8, repeats=1)
         eff = ((n_big_rows / tb) / (n_small_rows / ts)) / 4
         raw = None
-        if (eff < 0.80 or eff > 1.10) and (ts + tb) * 1.15 + 60 < _left():
-            # pinned waves are stable ±3% on an idle box (measured r3), so
-            # an out-of-band pair means one side was contaminated — and
-            # contamination only ADDS time. Re-run both sides once and take
-            # the per-side MIN (the standard robust estimator for timing);
-            # every raw value is published alongside.
-            _, ts2 = _wave_subprocess(2, n_pin, pin=2, repeats=1)
+        # pinned waves are stable ±3% on an idle box (measured r3), so an
+        # out-of-band pair means ONE side was contaminated — and
+        # contamination only ADDS time, which pins down WHICH side: low
+        # efficiency = slow 8-core side, high = slow 2-core side. Re-run
+        # just that side and take its MIN (the standard robust estimator
+        # for timing); raw values are published alongside.
+        if eff < 0.80 and tb * 1.15 + 45 < _left():
             _, tb2 = _wave_subprocess(8, n_pin, pin=8, repeats=1)
-            raw = {"t2_raw_s": [round(ts, 1), round(ts2, 1)],
-                   "t8_raw_s": [round(tb, 1), round(tb2, 1)]}
-            ts, tb = min(ts, ts2), min(tb, tb2)
+            raw = {"t8_raw_s": [round(tb, 1), round(tb2, 1)]}
+            tb = min(tb, tb2)
+        elif eff > 1.10 and ts * 1.15 + 45 < _left():
+            _, ts2 = _wave_subprocess(2, n_pin, pin=2, repeats=1)
+            raw = {"t2_raw_s": [round(ts, 1), round(ts2, 1)]}
+            ts = min(ts, ts2)
+        if raw:
             eff = ((n_big_rows / tb) / (n_small_rows / ts)) / 4
         small_t.append(ts)
         big_t.append(tb)
@@ -361,10 +365,12 @@ def _pinned_scaling(n_pin: int, pairs: int) -> dict:
         _emit("pin_pair", {"i": i, "t2_s": round(ts, 1), "t8_s": round(tb, 1),
                            "efficiency": round(eff, 3),
                            **({"remeasured": raw} if raw else {})})
+    # CONSERVATIVE median: even counts take the LOWER middle, so a
+    # 2-pair run headline-reports the worse pair, never a >1 artifact
     effs_sorted = sorted(effs)
-    med_eff = effs_sorted[len(effs_sorted) // 2]
-    ts_med = sorted(small_t)[len(small_t) // 2]
-    tb_med = sorted(big_t)[len(big_t) // 2]
+    med_eff = effs_sorted[(len(effs_sorted) - 1) // 2]
+    ts_med = sorted(small_t)[(len(small_t) - 1) // 2]
+    tb_med = sorted(big_t)[(len(big_t) - 1) // 2]
     return {
         "n_small_cores": 2,
         "n_big_cores": 8,
@@ -607,10 +613,13 @@ def _write_baseline_md(r: dict) -> None:
             "the published efficiency is a conservative floor.",
             f"Per-pair wave times (s): 2-core {p['small_times_s']}, "
             f"8-core {p['big_times_s']}.",
-            "A pair whose efficiency falls outside [0.80, 1.10] is re-measured",
-            "once on both sides and scored by per-side MIN (pinned waves are",
-            "stable ±3% idle, so an outlier is one-sided contamination, which",
-            "only ever ADDS time); raw values are in the partial JSON lines.",
+            "A pair whose efficiency falls outside [0.80, 1.10] re-measures",
+            "the implicated side once (low eff = slow 8-core side, high eff =",
+            "slow 2-core side — pinned waves are stable ±3% idle, so an",
+            "outlier is one-sided contamination, which only ever ADDS time)",
+            "and scores by that side's MIN; raw values are in the partial",
+            "JSON lines. The reported median is the LOWER middle for even",
+            "pair counts (conservative).",
         ]
         if u:
             lines += [
