@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_winnowing",
     "simhash_fingerprint",
     "text_quality",
     "ann_cosine_topk",

@@ -544,6 +544,91 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash sketch,
+    Schleimer/Wilkerson/Aiken SIGMOD'03 — public algorithm): hash every
+    word k-gram in document order, slide a w-gram window, keep each
+    window's MINIMUM hash, dedupe. Guarantees: any shared run of w+k-1
+    words between two documents yields at least one shared fingerprint,
+    and expected density is 2/(w+1) of positions — the sketch is ~w/2×
+    smaller than the full shingle set, which is what makes the pair join
+    feasible at corpus scale.
+
+    Fully relational: shingle transform (JVM) → posexplode → one portable
+    md5 hash per gram (its own projection so Catalyst evaluates it once)
+    → per-doc ordered window min → distinct. Documents with fewer than w
+    k-grams contribute their single overall-min hash (the degenerate
+    window). Returns (id_col, fp).
+    """
+    from ..functions.hashing import portable_hash64
+    from ..functions.text import shingles
+
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(shingles(F.col(text_col), k)).alias("pos", "g"),
+    ).withColumn("h", portable_hash64(F.col("g")))
+    doc_w = Window.partitionBy("_id")
+    roll = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
+    r = (
+        ex.withColumn("fp", F.min("h").over(roll))
+        .withColumn("_n", F.count("*").over(doc_w))
+    )
+    full = (
+        r.filter((F.col("_n") >= w) & (F.col("pos") <= F.col("_n") - w))
+        .select(F.col("_id").alias(id_col), "fp")
+        .distinct()
+    )
+    short = (
+        r.filter(F.col("_n") < w)
+        .groupBy("_id")
+        .agg(F.min("h").alias("fp"))
+        .select(F.col("_id").alias(id_col), "fp")
+    )
+    return full.unionByName(short)
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    fingerprint equi-join (never all-pairs), count shared per pair,
+    threshold at min_shared. ``max_df`` drops boilerplate fingerprints
+    whose document frequency exceeds it — the same fan-out bound as
+    ngram_jaccard_pairs (a fingerprint shared by d docs costs d² join
+    rows). Returns (id_a, id_b, shared).
+    """
+    fps = winnowing_fingerprints(df, id_col, text_col, k=k, w=w)
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 SIMHASH_BITS = 60  # width of the portable md5-derived hash (hashing.portable_hash64)
 
 

@@ -447,6 +447,53 @@ WHERE shared / (na.n + nb.n - shared) >= 0.9
 """
 
 
+_WINNOW_W = 4  # winnowing window (fingerprint density ≈ 2/(w+1))
+_WINNOW_MAX_DF = 100  # boilerplate-fingerprint cap (join fan-out ≤ max_df²)
+_WINNOW_MIN_SHARED = 2
+
+
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS rolling-hash) fingerprint near-dup pairs over the
+    cloned corpus — the sketch keeps ~2/(w+1) of shingle hashes (window
+    minima), so the candidate join touches a fraction of the Jaccard
+    shingle volume while guaranteeing any shared w+k-1-word run still
+    collides. Oracle replays the identical window-min selection in SQL."""
+    from .operators.dedup import winnowing_pairs
+
+    d = _cloned_docs_spark(spark, sf_dir)
+    return winnowing_pairs(
+        d, "doc_id", "text", k=3, w=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED, max_df=_WINNOW_MAX_DF,
+    )
+
+
+def _sql_dedup_winnowing() -> str:
+    from .functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("grams[i::INT + 1]")
+    w = _WINNOW_W
+    return f"""
+WITH corpus AS ({_CLONED_DOCS_DUCK}),
+g AS (SELECT doc_id, {_SHINGLES_DUCK} AS grams FROM corpus),
+ex AS (SELECT doc_id, i::INT AS pos, {h} AS h
+       FROM g, unnest(range(0, len(grams))) AS t(i)),
+r AS (SELECT doc_id, pos, h,
+        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+        count(*) OVER (PARTITION BY doc_id) AS n
+      FROM ex),
+fps0 AS (
+  SELECT DISTINCT doc_id, fp FROM r WHERE n >= {w} AND pos <= n - {w}
+  UNION ALL
+  SELECT doc_id, min(h) AS fp FROM r WHERE n < {w} GROUP BY doc_id),
+hot AS (SELECT fp FROM fps0 GROUP BY fp HAVING count(*) > {_WINNOW_MAX_DF}),
+fps AS (SELECT doc_id, fp FROM fps0 WHERE fp NOT IN (SELECT fp FROM hot))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {_WINNOW_MIN_SHARED}
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -2505,6 +2552,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_jaccard,
+        "dedup_winnowing": q_dedup_winnowing,
         "text_quality": q_text_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann,
@@ -2560,6 +2608,7 @@ def oracles() -> dict[str, str]:
         "dedup_exact": _sql_dedup_exact(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "dedup_ngram_jaccard": _sql_dedup_jaccard(),
+        "dedup_winnowing": _sql_dedup_winnowing(),
         "text_quality": _sql_text_quality(),
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ivf_ann_topk": _SQL_IVF_ANN,

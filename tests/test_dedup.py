@@ -158,3 +158,48 @@ def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
     got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
     assert set(got) == {(100, 101)}
     assert abs(got[(100, 101)] - 3 / 4) < 1e-9  # DF-filtered universe: 3 of 4
+
+
+def test_winnowing_guarantee_and_sketch_size(spark):
+    """Winnowing invariants (Schleimer et al.): (a) two docs sharing a run
+    of >= w+k-1 words produce at least one shared fingerprint; (b) the
+    sketch is much smaller than the full shingle set (expected density
+    2/(w+1)); (c) exact clones share every fingerprint; (d) disjoint docs
+    share none."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    base = " ".join(rng.choice(vocab) for _ in range(120))
+    shared_run = " ".join(rng.choice(vocab) for _ in range(6))  # w+k-1 = 6
+    a = base + " " + shared_run
+    b = shared_run + " " + " ".join(rng.choice(vocab) for _ in range(120))
+    c = " ".join(rng.choice(vocab) for _ in range(120))  # unrelated
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c), (3, a)], ["doc_id", "text"]
+    )
+    fps = dedup.winnowing_fingerprints(df, "doc_id", "text", k=3, w=4)
+    by_doc = {i: {r.fp for r in rows} for i, rows in (
+        (i, fps.filter(fps.doc_id == i).collect()) for i in range(4))}
+    # (a) guaranteed collision through the shared 6-word run
+    assert by_doc[0] & by_doc[1]
+    # (b) sketch smaller than the shingle universe (118 grams -> ~2/(w+1))
+    assert len(by_doc[0]) < 120 * 0.8
+    # (c) clone shares everything, (d) unrelated doc shares nothing
+    assert by_doc[0] == by_doc[3]
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+    pairs = {(r.id_a, r.id_b) for r in dedup.winnowing_pairs(
+        df, "doc_id", "text", k=3, w=4, min_shared=1).collect()}
+    assert (0, 3) in pairs and (0, 1) in pairs and not any(2 in p for p in pairs)
+
+
+def test_winnowing_short_doc_fallback(spark):
+    """A doc with fewer than w k-grams still yields exactly one fingerprint
+    (its overall min) — identical in both engines' mirrors."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    fps = dedup.winnowing_fingerprints(df, "doc_id", "text", k=3, w=4)
+    got = fps.groupBy("doc_id").count().collect()
+    assert {r.doc_id: r["count"] for r in got} == {1: 1, 2: 1}
