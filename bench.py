@@ -245,11 +245,17 @@ def crawl_wave_bench(spark, n_urls: int) -> tuple[int, float]:
     return n, elapsed
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Returns (first_run, steady) wall times per query. The first run
+    carries one-time Catalyst analysis + whole-stage-codegen compile —
+    measured 6-13 s on the widest expression trees (lang-ID case chains,
+    simhash bit votes) vs ~3 s steady — which a 100 TB job amortizes to
+    nothing; both are published so the table is honest about each."""
     from newsraag_crawler_spark.queries import catalog
 
     cat = catalog()
-    times: dict[str, float] = {}
+    first: dict[str, float] = {}
+    steady: dict[str, float] = {}
     # warm the noop sink + codegen paths so the first timed query isn't
     # charged for one-time JVM setup
     spark.range(100).write.format("noop").mode("overwrite").save()
@@ -263,8 +269,11 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.time()
         df = cat[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-    return times
+        first[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        cat[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        steady[name] = round(time.time() - t0, 3)
+    return first, steady
 
 
 def _wave_subprocess(
@@ -490,10 +499,11 @@ def main() -> None:
     crawl = {"n_frontier_urls": N_URLS, "fetched": n_b, "elapsed_sec": round(t_b, 2)}
     _emit("crawl", {**crawl, "urls_per_sec": round(thr_b, 1)})
 
-    # ---- 2. per-query wall times
+    # ---- 2. per-query wall times (first run incl. one-time plan/codegen
+    # compile, plus steady-state — the 100 TB-relevant number)
     spark = _fresh_session(CPUS)
-    qtimes = run_queries(spark, SF_DIR)
-    _emit("queries", {"queries": qtimes})
+    qtimes, qsteady = run_queries(spark, SF_DIR)
+    _emit("queries", {"queries": qtimes, "queries_steady": qsteady})
     spark.stop()
 
     # ---- 3. pinned scaling pairs (budget-aware, emitted per pair) — the
@@ -548,6 +558,7 @@ def main() -> None:
         "value": round(thr_b, 1),
         "unit": "urls/sec",
         "queries": qtimes,
+        "queries_steady": qsteady,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "crawl": crawl,
         "soak": soak,
@@ -655,11 +666,17 @@ def _write_baseline_md(r: dict) -> None:
         "",
         "## Per-query wall times (noop sink, sf=" + str(r["sf"]) + ")",
         "",
-        "| query | sec |",
-        "|---|---|",
+        "`first` includes the one-time Catalyst/codegen compile of the",
+        "query's expression trees (6-13 s on the widest ones); `steady` is",
+        "the second execution in the same session — the number that matters",
+        "at 100 TB, where plan compile amortizes to nothing.",
+        "",
+        "| query | first (s) | steady (s) |",
+        "|---|---|---|",
     ]
+    qs = r.get("queries_steady", {})
     for k, v in r["queries"].items():
-        lines.append(f"| {k} | {v} |")
+        lines.append(f"| {k} | {v} | {qs.get(k, '—')} |")
     lines += [
         "",
         "Reference floor (BASELINE.md): 0.014-0.056 urls/sec sustained (50-200",
