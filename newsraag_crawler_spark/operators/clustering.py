@@ -1,0 +1,104 @@
+"""Iterative k-means (Lloyd) clustering with EXACT cross-engine semantics.
+
+Iterative algorithms are where SQL-oracle verification usually gives up:
+after one centroid update, float summation ORDER diverges between engines
+and every subsequent assignment drifts. This operator makes Lloyd's
+algorithm exactly replayable in DuckDB:
+
+1. Vectors are quantized once with ``floor(x · 2^13)`` — a power-of-two
+   multiply of a float32-widened-to-double is exact, and floor carries no
+   round-half ambiguity, so both engines produce the SAME integers.
+2. Centroids are stored as (integer sum vector s_c, member count n_c) —
+   never divided, so centroid state stays exactly representable.
+3. Assignment ranks by the squared distance to the mean,
+   |x − s_c/n_c|² = D_c / n_c²  with  D_c = n_c²·|x|² − 2·n_c·⟨x,s_c⟩ + |s_c|²
+   computed entirely in int64 (exact; per-dim terms stay ≤ ~2^56 at the
+   gated scales: |q| ≤ 2^13, n_c ≤ 2^13, dim 64), then divided by n_c² as
+   ONE IEEE double division of two integer-agreed operands — identical
+   bit pattern in every engine — with the centroid id as a deterministic
+   tie-break. No accumulation of floats ever happens, so no order
+   divergence is possible.
+4. Centroid update = per-dimension integer sums + a count (map-side
+   combinable groupBy on k keys).
+
+Scale shape per iteration: broadcast the k-row centroid table, map-side
+distance/argmin over the points, one k-key aggregation — the classic
+Lloyd-on-Spark layout (MLlib's KMeans broadcasts centers per iteration
+the same way at any cluster size). The quantization grid is part of this
+operator's spec, like any production ANN quantizer (IVF/PQ cluster on
+quantized vectors as a matter of course).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QSCALE = 1 << 13  # power-of-two quantization: floor(x·2^13) is exact for f32
+
+
+def quantize_vec(vec_col) -> F.Column:
+    """array<float> → array<long> via floor(x·2^13): exact and identical in
+    Spark and DuckDB (no round-half semantics involved)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c, lambda x: F.floor(x.cast("double") * F.lit(float(QSCALE))).cast("long")
+    )
+
+
+def _dist_num(qvec, svec, n):
+    """Exact int64 numerator D = n²|x|² − 2n⟨x,s⟩ + |s|² (left-fold over
+    dimensions — integer addition is order-free, so the fold shape is for
+    Catalyst compile size, not correctness)."""
+    term = F.zip_with(
+        qvec, svec, lambda x, s: n * n * x * x - F.lit(2) * n * x * s + s * s
+    )
+    return F.aggregate(term, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Lloyd's k-means over pre-quantized integer vectors, seeded from the
+    k lowest ids, running ``iters`` assignment passes with centroid
+    recomputation between passes. Returns (id_col, cluster)."""
+    pts = emb.select(F.col(id_col).alias("_id"), F.col(qvec_col).alias("_q"))
+    cent = pts.filter(F.col("_id") < k).select(
+        F.col("_id").cast("int").alias("cid"),
+        F.col("_q").alias("svec"),
+        F.lit(1).cast("long").alias("n"),
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        scored = pts.crossJoin(F.broadcast(c)).withColumn(
+            "_dn", _dist_num(F.col("_q"), F.col("svec"), F.col("n"))
+        )
+        # one IEEE division of two exactly-agreed integers per candidate:
+        # bit-identical ranking in every engine (see module docstring)
+        scored = scored.withColumn(
+            "_d", F.col("_dn").cast("double") / (F.col("n") * F.col("n")).cast("double")
+        )
+        w = Window.partitionBy("_id").orderBy("_d", "cid")
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_id", "cid")
+        )
+
+    for _ in range(iters - 1):
+        a = assign(cent)
+        cent = (
+            a.join(pts, "_id")
+            .groupBy("cid")
+            .agg(
+                F.array(*[F.sum(F.col("_q")[i]) for i in range(dim)]).alias("svec"),
+                F.count("*").alias("n"),
+            )
+        )
+    final = assign(cent)
+    return final.select(F.col("_id").alias(id_col), F.col("cid").alias("cluster"))

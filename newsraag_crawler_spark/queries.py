@@ -2253,6 +2253,59 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd k-means (k=4, 2 assignment passes with a centroid
+    recompute between them) over the embeddings table — the DuckDB oracle
+    replays BOTH iterations exactly because the operator does all centroid
+    math in integers (floor(x·2^13) quantization; centroids kept as
+    sum-vector + count; ranking divides two integer-agreed operands in one
+    IEEE operation). The usual 'iterative algorithms are rows-only'
+    exemption is deliberately not used."""
+    from .operators.clustering import kmeans_assign, quantize_vec
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", quantize_vec("embedding").alias("qvec")
+    )
+    return kmeans_assign(emb, "vec_id", "qvec", k=4, iters=2, dim=64)
+
+
+def _sql_kmeans_clusters() -> str:
+    from .operators.clustering import QSCALE
+
+    def dist(c: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, 65), i -> "
+            f"{c}.n*{c}.n*q.qv[i]*q.qv[i] - 2*{c}.n*q.qv[i]*{c}.sv[i] "
+            f"+ {c}.sv[i]*{c}.sv[i])) AS DOUBLE) / CAST({c}.n*{c}.n AS DOUBLE)"
+        )
+
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings),
+c0 AS (SELECT vec_id::INT AS cid, qv AS sv, 1::BIGINT AS n FROM q WHERE vec_id < 4),
+s0 AS (SELECT q.vec_id, c.cid, {dist('c')} AS d FROM q CROSS JOIN c0 c),
+a0 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM s0) WHERE rn = 1),
+e1 AS (SELECT a0.cid, i, q.qv[i::INT] AS v
+       FROM a0 JOIN q USING (vec_id), unnest(range(1, 65)) AS t(i)),
+sums AS (SELECT cid, i, CAST(sum(v) AS BIGINT) AS s FROM e1 GROUP BY cid, i),
+cnts AS (SELECT cid, count(*) AS n FROM a0 GROUP BY cid),
+c1 AS (SELECT sums.cid, list(s ORDER BY i) AS sv, any_value(cnts.n) AS n
+       FROM sums JOIN cnts USING (cid) GROUP BY sums.cid),
+s1 AS (SELECT q.vec_id, c.cid, {dist('c')} AS d FROM q CROSS JOIN c1 c),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM s1) WHERE rn = 1)
+SELECT vec_id, cid AS cluster FROM a1
+"""
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: SRP-bucketed candidate pairs
     (Hamming ≤ 1 multiprobe — never all-pairs) → exact cosine ≥ 0.98.
@@ -2556,6 +2609,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann,
+        "kmeans_clusters": q_kmeans_clusters,
         "dedup_embedding_cosine": q_dedup_embedding,
         "crawl_embedding_neardup": q_crawl_embedding_neardup,
         "phash_hamming_pairs": q_phash_hamming,
@@ -2612,6 +2666,7 @@ def oracles() -> dict[str, str]:
         "text_quality": _sql_text_quality(),
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ivf_ann_topk": _SQL_IVF_ANN,
+        "kmeans_clusters": _sql_kmeans_clusters(),
         "dedup_embedding_cosine": _sql_dedup_embedding(),
         "crawl_embedding_neardup": _sql_crawl_embedding_neardup(),
         "crawl_wave_scale": _sql_crawl_wave_scale(),

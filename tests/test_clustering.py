@@ -1,0 +1,60 @@
+"""Exact-integer Lloyd k-means: parallelism invariance, seeding, progress."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from newsraag_crawler_spark.operators.clustering import kmeans_assign, quantize_vec
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", quantize_vec("embedding").alias("qvec")
+    )
+
+
+def test_assignments_parallelism_invariant(spark):
+    """The whole point of the integer construction: the result is a pure
+    function of the data — identical under adversarial repartitioning
+    (float-sum order cannot leak into any comparison)."""
+    emb = _emb(spark)
+    a = kmeans_assign(emb, iters=2)
+    b = kmeans_assign(emb.repartition(13, F.col("vec_id")), iters=2)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_seeds_assign_to_themselves_in_pass_one(spark):
+    """With iters=1 (seed centroids are actual points, n=1), each seed's
+    distance to itself is exactly 0 — it must land in its own cluster."""
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(_emb(spark), iters=1).filter(F.col("vec_id") < 4).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_iteration_reduces_or_holds_cost(spark):
+    """Lloyd monotonicity on the quantized data: total squared distance to
+    the assigned centroid MEAN must not increase from pass 1 to pass 2
+    (computed exactly from integer sums, evaluated in python)."""
+    emb = _emb(spark)
+    pts = {r.vec_id: r.qvec for r in emb.collect()}
+
+    def cost(assign_df):
+        groups: dict[int, list[int]] = {}
+        for r in assign_df.collect():
+            groups.setdefault(r.cluster, []).append(r.vec_id)
+        total = 0.0
+        for members in groups.values():
+            n = len(members)
+            dim = len(next(iter(pts.values())))
+            s = [sum(pts[m][i] for m in members) for i in range(dim)]
+            for m in members:
+                total += sum((pts[m][i] - s[i] / n) ** 2 for i in range(dim))
+        return total
+
+    c1 = cost(kmeans_assign(emb, iters=1))
+    c2 = cost(kmeans_assign(emb, iters=2))
+    assert c2 <= c1 + 1e-6, (c1, c2)
