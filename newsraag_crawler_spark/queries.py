@@ -260,6 +260,78 @@ SELECT source, doc_id, rnk FROM (
 """
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 completion: parse robots.txt BODIES into the per-host policy the
+    budget/robots operators consume — wildcard-agent section extraction
+    (lookahead-free so one regex dialect serves Java and RE2), Disallow
+    prefixes (empty value = allow-all), Crawl-delay with default fallback.
+    Fixture rotates: multi-agent body (the * group is NOT first) / a body
+    with only a specific agent / an empty-Disallow * group / no robots at
+    all."""
+    from .operators.politeness import parse_robots
+
+    i = F.col("doc_id")
+    nl = F.lit("\n")
+    v0 = F.concat(
+        F.lit("User-agent: badbot"), nl, F.lit("Disallow: /"), nl,
+        F.lit("User-agent: *"), nl, F.lit("Disallow: /private"), nl,
+        F.lit("Disallow: /tmp"), nl,
+        F.lit("Crawl-delay: "), (F.pmod(i, F.lit(5)) + 1).cast("string"), F.lit(".5"),
+    )
+    v1 = F.concat(F.lit("User-agent: googlebot"), nl, F.lit("Disallow: /secret"))
+    v2 = F.concat(F.lit("User-agent: *"), nl, F.lit("Disallow:"), nl)
+    body = (
+        F.when(F.pmod(i, F.lit(4)) == 0, v0)
+        .when(F.pmod(i, F.lit(4)) == 1, v1)
+        .when(F.pmod(i, F.lit(4)) == 2, v2)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    d = _docs(spark, sf_dir).filter(i < 500).select(
+        F.concat(F.lit("h"), i.cast("string"), F.lit(".example.com")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    parsed = parse_robots(d)
+    return parsed.select(
+        "host",
+        "crawl_delay_s",
+        F.to_json("robots_disallow").alias("disallow_json"),
+        F.size("robots_disallow").alias("n_rules"),
+    )
+
+
+_SQL_ROBOTS_PARSE = r"""
+WITH d AS (
+  SELECT doc_id, 'h' || doc_id::VARCHAR || '.example.com' AS host,
+    CASE doc_id % 4
+      WHEN 0 THEN 'User-agent: badbot' || chr(10) || 'Disallow: /' || chr(10)
+        || 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+        || 'Disallow: /tmp' || chr(10)
+        || 'Crawl-delay: ' || ((doc_id % 5) + 1)::VARCHAR || '.5'
+      WHEN 1 THEN 'User-agent: googlebot' || chr(10) || 'Disallow: /secret'
+      WHEN 2 THEN 'User-agent: *' || chr(10) || 'Disallow:' || chr(10)
+      ELSE NULL END AS robots_txt
+  FROM documents WHERE doc_id < 500),
+m AS (SELECT host,
+        regexp_replace(COALESCE(robots_txt, ''), 'User-agent\s*:', '@@UA@@', 'gi')
+          AS marked
+      FROM d),
+s AS (SELECT host,
+        regexp_extract(marked, '(?is)@@UA@@\s*\*\s*([^@]*)', 1) AS section
+      FROM m),
+p AS (SELECT host,
+        list_filter(regexp_extract_all(section, '(?i)Disallow\s*:[ \t]*(\S*)', 1),
+                    x -> x <> '') AS dis,
+        regexp_extract(section, '(?i)Crawl-delay\s*:[ \t]*([0-9.]+)', 1) AS delay_raw
+      FROM s)
+SELECT host,
+  CASE WHEN delay_raw <> '' AND regexp_matches(delay_raw, '^[0-9.]+$')
+       THEN delay_raw::DOUBLE ELSE 1.0 END AS crawl_delay_s,
+  CAST(to_json(dis) AS VARCHAR) AS disallow_json,
+  len(dis)::INT AS n_rules
+FROM p
+"""
+
+
 def q_politeness_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1: token-bucket budget as column math — wave assignment + schedule
     offsets (budget 7, delay 1.5s), host stood in by `source`."""
@@ -2584,6 +2656,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_antijoin": q_seen_antijoin,
         "per_source_cap": q_per_source_cap,
         "politeness_waves": q_politeness_waves,
+        "robots_parse": q_robots_parse,
         "content_chunking": q_content_chunking,
         "fuzzy_date_parse": q_fuzzy_date_parse,
         "tz_blobpath": q_tz_blobpath,
@@ -2641,6 +2714,7 @@ def oracles() -> dict[str, str]:
         "seen_antijoin": _sql_seen_antijoin(),
         "per_source_cap": _SQL_PER_SOURCE_CAP,
         "politeness_waves": _SQL_POLITENESS,
+        "robots_parse": _SQL_ROBOTS_PARSE,
         "content_chunking": _SQL_CHUNKING,
         "fuzzy_date_parse": _sql_fuzzy_date(),
         "tz_blobpath": _SQL_TZ_BLOB,

@@ -162,3 +162,41 @@ def test_newest_first_unparseable_sorts_last(spark):
     out = newest_first(df, "d", group_col="source_id", tiebreak_col="feed_rank")
     order = [r.id for r in out.orderBy("order_rank").collect()]
     assert order == [3, 1, 2]
+
+
+def test_parse_robots_composes_with_apply_robots(spark):
+    """robots.txt BODY → parse_robots → apply_robots: the parsed wildcard
+    rules must block exactly the disallowed prefixes, honor the other-agent
+    section being first, treat empty Disallow as allow-all, and default the
+    crawl delay when absent."""
+    from pyspark.sql import Row
+
+    from newsraag_crawler_spark.operators.politeness import apply_robots, parse_robots
+
+    bodies = spark.createDataFrame(
+        [
+            Row(host="a.com", robots_txt=(
+                "User-agent: badbot\nDisallow: /\n"
+                "User-agent: *\nDisallow: /private\nCrawl-delay: 3.5")),
+            Row(host="b.com", robots_txt="User-agent: *\nDisallow:\n"),
+            Row(host="c.com", robots_txt=None),
+        ]
+    )
+    pol = parse_robots(bodies)
+    got = {r.host: r for r in pol.collect()}
+    assert got["a.com"].robots_disallow == ["/private"]
+    assert got["a.com"].crawl_delay_s == 3.5
+    assert got["b.com"].robots_disallow == [] and got["b.com"].crawl_delay_s == 1.0
+    assert got["c.com"].robots_disallow == []
+
+    frontier = spark.createDataFrame(
+        [
+            Row(host="a.com", path="/private/x", url="https://a.com/private/x"),
+            Row(host="a.com", path="/articles/1", url="https://a.com/articles/1"),
+            Row(host="b.com", path="/anything", url="https://b.com/anything"),
+        ]
+    )
+    allowed, blocked = apply_robots(frontier, pol)
+    assert {r.url for r in blocked.collect()} == {"https://a.com/private/x"}
+    assert {r.url for r in allowed.collect()} == {
+        "https://a.com/articles/1", "https://b.com/anything"}
