@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "srp_ann_topk",
     "ivf_ann_topk",
+    "ivf_kmeans_topk",
     "kmeans_clusters",
     "dedup_embedding_cosine",
     "phash_hamming_pairs",

@@ -90,9 +90,8 @@ def kmeans_assign(
             .select("_id", "cid")
         )
 
-    for _ in range(iters - 1):
-        a = assign(cent)
-        cent = (
+    def update(a: DataFrame) -> DataFrame:
+        return (
             a.join(pts, "_id")
             .groupBy("cid")
             .agg(
@@ -100,5 +99,34 @@ def kmeans_assign(
                 F.count("*").alias("n"),
             )
         )
+
+    for _ in range(iters - 1):
+        cent = update(assign(cent))
     final = assign(cent)
     return final.select(F.col("_id").alias(id_col), F.col("cid").alias("cluster"))
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Trained centroids: the integer (sum vector, count) recomputed from
+    the FINAL assignment of ``kmeans_assign`` — still never divided, so
+    downstream consumers that are scale-invariant (cosine quantizers: the
+    IVF coarse router) can use the sum vector directly as the centroid
+    direction with zero float drift. Returns (cid, svec array<long>, n)."""
+    a = kmeans_assign(emb, id_col, qvec_col, k=k, iters=iters, dim=dim)
+    pts = emb.select(F.col(id_col).alias("_id"), F.col(qvec_col).alias("_q"))
+    return (
+        a.select(F.col(id_col).alias("_id"), F.col("cluster").alias("cid"))
+        .join(pts, "_id")
+        .groupBy("cid")
+        .agg(
+            F.array(*[F.sum(F.col("_q")[i]) for i in range(dim)]).alias("svec"),
+            F.count("*").alias("n"),
+        )
+    )

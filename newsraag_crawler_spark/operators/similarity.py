@@ -214,14 +214,17 @@ def ivf_topk(
     vec_col: str = "embedding",
     qid_col: str = "query_id",
     qvec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path next to
     SRP-LSH: a coarse quantizer routes vectors into cells, queries probe only
     the n_probe nearest cells, exact cosine runs inside the probed cells.
 
-    The coarse quantizer here is SEEDED (the first n_cells corpus vectors by
-    id) — deterministic and oracle-mirrorable; a production build would
-    Lloyd-iterate it with the same relational assign/groupBy-average pattern.
+    The coarse quantizer is SEEDED by default (the first n_cells corpus
+    vectors by id); pass ``centroids`` (cell, cvec) to use a TRAINED
+    codebook instead — operators.clustering.kmeans_centroids supplies
+    Lloyd-trained integer sum vectors, which work verbatim as centroid
+    directions because cosine is scale-invariant.
 
     Scale shape: centroids broadcast (n_cells rows); cell assignment is ONE
     map-side projection over the corpus — the n_cells centroids are packed
@@ -234,10 +237,11 @@ def ivf_topk(
     tiebreak so a sub-1e-6 floating-point residue can't flip an assignment
     between engines.
     """
-    centroids = (
-        corpus.filter(F.col(id_col) < n_cells)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
-    )
+    if centroids is None:
+        centroids = (
+            corpus.filter(F.col(id_col) < n_cells)
+            .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
+        )
     # one row: array of (cell, cvec, |cvec|) sorted by cell id — the whole
     # quantizer codebook crosses the wire once per task, not once per row
     cent_row = centroids.agg(

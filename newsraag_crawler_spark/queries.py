@@ -2325,6 +2325,63 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
 """
 
 
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: Lloyd k-means (k=16, the
+    exact-integer construction) supplies the codebook, whose integer sum
+    vectors serve directly as centroid directions (cosine is
+    scale-invariant — no division, no float drift), then the standard IVF
+    route: 4-probe cell routing + exact cosine inside probed cells. The
+    oracle replays training AND serving."""
+    from .operators.clustering import kmeans_centroids, quantize_vec
+    from .operators.similarity import ivf_topk
+
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    train = raw.select("vec_id", quantize_vec("embedding").alias("qvec"))
+    cents = kmeans_centroids(train, k=16, iters=2, dim=64).select(
+        F.col("cid").alias("cell"),
+        F.transform("svec", lambda s: s.cast("double")).alias("cvec"),
+    )
+    emb = raw.repartition(spark.sparkContext.defaultParallelism).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(
+        emb, queries, k=10, n_cells=16, n_probe=4, centroids=cents
+    ).select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def _sql_ivf_kmeans() -> str:
+    return f"""
+WITH {_sql_kmeans_ctes(16)},
+cents AS (SELECT cid AS cell, list_transform(sv, s -> CAST(s AS DOUBLE)) AS cvec
+          FROM c2),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC, c.cell) AS cr
+    FROM e CROSS JOIN cents c) WHERE cr = 1),
+qq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT qq.query_id, qq.qv, c.cell,
+      row_number() OVER (PARTITION BY qq.query_id
+        ORDER BY round(list_cosine_similarity(qq.qv, c.cvec), 6) DESC, c.cell) AS qr
+    FROM qq CROSS JOIN cents c) WHERE qr <= 4),
+cand AS (
+  SELECT p.query_id, a.vec_id, list_cosine_similarity(a.v, p.qv) AS cos_raw
+  FROM assigned a JOIN probes p ON a.cell = p.cell),
+ranked AS (
+  SELECT query_id, vec_id, round(cos_raw, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM cand)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative Lloyd k-means (k=4, 2 assignment passes with a centroid
     recompute between them) over the embeddings table — the DuckDB oracle
@@ -2341,7 +2398,10 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, "vec_id", "qvec", k=4, iters=2, dim=64)
 
 
-def _sql_kmeans_clusters() -> str:
+def _sql_kmeans_ctes(k: int) -> str:
+    """Shared DuckDB CTE chain replaying the exact-integer Lloyd run:
+    quantize → seed c0 → assign a0 → recompute c1 → assign a1 → recompute
+    c2 (the trained centroids kmeans_centroids returns)."""
     from .operators.clustering import QSCALE
 
     def dist(c: str) -> str:
@@ -2351,29 +2411,38 @@ def _sql_kmeans_clusters() -> str:
             f"+ {c}.sv[i]*{c}.sv[i])) AS DOUBLE) / CAST({c}.n*{c}.n AS DOUBLE)"
         )
 
-    return f"""
-WITH q AS (
+    def recompute(a: str, c: str) -> str:
+        return f"""
+e_{c} AS (SELECT {a}.cid, i, q.qv[i::INT] AS v
+       FROM {a} JOIN q USING (vec_id), unnest(range(1, 65)) AS t(i)),
+sums_{c} AS (SELECT cid, i, CAST(sum(v) AS BIGINT) AS s FROM e_{c} GROUP BY cid, i),
+cnts_{c} AS (SELECT cid, count(*) AS n FROM {a} GROUP BY cid),
+{c} AS (SELECT sums_{c}.cid, list(s ORDER BY i) AS sv, any_value(cnts_{c}.n) AS n
+       FROM sums_{c} JOIN cnts_{c} USING (cid) GROUP BY sums_{c}.cid)"""
+
+    def assign(c: str, a: str) -> str:
+        return f"""
+s_{a} AS (SELECT q.vec_id, c.cid, {dist('c')} AS d FROM q CROSS JOIN {c} c),
+{a} AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM s_{a}) WHERE rn = 1)"""
+
+    return f"""q AS (
   SELECT vec_id,
          list_transform(embedding, x ->
            CAST(floor(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT)) AS qv
   FROM embeddings),
-c0 AS (SELECT vec_id::INT AS cid, qv AS sv, 1::BIGINT AS n FROM q WHERE vec_id < 4),
-s0 AS (SELECT q.vec_id, c.cid, {dist('c')} AS d FROM q CROSS JOIN c0 c),
-a0 AS (SELECT vec_id, cid FROM (
-         SELECT vec_id, cid,
-                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-         FROM s0) WHERE rn = 1),
-e1 AS (SELECT a0.cid, i, q.qv[i::INT] AS v
-       FROM a0 JOIN q USING (vec_id), unnest(range(1, 65)) AS t(i)),
-sums AS (SELECT cid, i, CAST(sum(v) AS BIGINT) AS s FROM e1 GROUP BY cid, i),
-cnts AS (SELECT cid, count(*) AS n FROM a0 GROUP BY cid),
-c1 AS (SELECT sums.cid, list(s ORDER BY i) AS sv, any_value(cnts.n) AS n
-       FROM sums JOIN cnts USING (cid) GROUP BY sums.cid),
-s1 AS (SELECT q.vec_id, c.cid, {dist('c')} AS d FROM q CROSS JOIN c1 c),
-a1 AS (SELECT vec_id, cid FROM (
-         SELECT vec_id, cid,
-                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-         FROM s1) WHERE rn = 1)
+c0 AS (SELECT vec_id::INT AS cid, qv AS sv, 1::BIGINT AS n FROM q WHERE vec_id < {k}),
+{assign('c0', 'a0')},
+{recompute('a0', 'c1')},
+{assign('c1', 'a1')},
+{recompute('a1', 'c2')}"""
+
+
+def _sql_kmeans_clusters() -> str:
+    return f"""
+WITH {_sql_kmeans_ctes(4)}
 SELECT vec_id, cid AS cluster FROM a1
 """
 
@@ -2683,6 +2752,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_ann_topk": q_ivf_ann,
         "kmeans_clusters": q_kmeans_clusters,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "dedup_embedding_cosine": q_dedup_embedding,
         "crawl_embedding_neardup": q_crawl_embedding_neardup,
         "phash_hamming_pairs": q_phash_hamming,
@@ -2741,6 +2811,7 @@ def oracles() -> dict[str, str]:
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ivf_ann_topk": _SQL_IVF_ANN,
         "kmeans_clusters": _sql_kmeans_clusters(),
+        "ivf_kmeans_topk": _sql_ivf_kmeans(),
         "dedup_embedding_cosine": _sql_dedup_embedding(),
         "crawl_embedding_neardup": _sql_crawl_embedding_neardup(),
         "crawl_wave_scale": _sql_crawl_wave_scale(),

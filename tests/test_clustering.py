@@ -58,3 +58,20 @@ def test_iteration_reduces_or_holds_cost(spark):
     c1 = cost(kmeans_assign(emb, iters=1))
     c2 = cost(kmeans_assign(emb, iters=2))
     assert c2 <= c1 + 1e-6, (c1, c2)
+
+
+def test_centroids_match_final_assignment_sums(spark):
+    """kmeans_centroids must equal per-cluster integer sums + counts of the
+    final assignment — verified in python (exact integers both sides)."""
+    from newsraag_crawler_spark.operators.clustering import kmeans_centroids
+
+    emb = _emb(spark)
+    assigns = {r.vec_id: r.cluster for r in kmeans_assign(emb, iters=2).collect()}
+    pts = {r.vec_id: list(r.qvec) for r in emb.collect()}
+    cents = {r.cid: (list(r.svec), r.n) for r in kmeans_centroids(emb, iters=2).collect()}
+    for cid, (svec, n) in cents.items():
+        members = [v for v, c in assigns.items() if c == cid]
+        assert n == len(members)
+        dim = len(svec)
+        expect = [sum(pts[m][i] for m in members) for i in range(dim)]
+        assert svec == expect
