@@ -95,11 +95,14 @@ def split_wave(budgeted: DataFrame) -> tuple[DataFrame, DataFrame]:
 # robots.txt parsing (engine addition — the reference never reads robots,
 # SURVEY §2.7 R7; north_star asks for crawl-delay/allow rules FROM robots).
 # Lookahead-free section extraction so ONE regex dialect serves both Java
-# (Spark) and RE2 (DuckDB, no (?=...)): every "User-agent:" is first
-# rewritten to an @-sentinel, then the wildcard agent's section is
-# "sentinel * followed by non-@ chars" — i.e. everything up to the next
-# user-agent line.
-_UA_SENTINEL = "@@UA@@"
+# (Spark) and RE2 (DuckDB, no (?=...)): every "User-agent:" is rewritten
+# to a \x01-sentinel, then the wildcard agent's section is "sentinel *
+# followed by non-sentinel chars" — i.e. everything up to the next
+# user-agent line. \x01 cannot collide with body text: any pre-existing
+# \x01 bytes are stripped first (they never occur in well-formed robots
+# bodies, so stripping is lossless), unlike the r4 '@'-sentinel, which a
+# webmaster email in a comment silently truncated (r4 ADVICE).
+_UA_SENTINEL = "\x01"
 
 
 def parse_robots(
@@ -114,27 +117,30 @@ def parse_robots(
     prefixes (empty value = allow-all, per the de-facto standard) and
     ``Crawl-delay:`` (falls back to default_delay_s). A missing body or a
     body without a ``*`` group yields allow-all + default delay — crawl
-    conservatively only when told to.
+    conservatively only when told to. ``#``-comments are stripped per the
+    original robots.txt spec (so a comment containing 'User-agent:' text
+    or a stray sentinel byte can't corrupt section extraction), and a
+    Crawl-delay value must be a plain decimal (``^\\d+(\\.\\d+)?$``) —
+    malformed values like ``1.2.3`` fall back to the default instead of
+    cast-to-NULL (Spark) / conversion-error (DuckDB) divergence.
 
     Adds: robots_disallow array<string>, crawl_delay_s double. Output
     composes directly with apply_robots/budget_waves (the hosts policy
     table the north rule derives from robots).
     """
-    marked = F.regexp_replace(
-        F.coalesce(F.col(body_col), F.lit("")), r"(?i)User-agent\s*:", _UA_SENTINEL
-    )
-    # section = wildcard group's directives, up to the next user-agent
-    # sentinel ([^@]* is safe: the sentinel is the only @ source after the
-    # rewrite in robots bodies, and fixture bodies contain no other @)
-    section = F.regexp_extract(marked, r"(?is)" + _UA_SENTINEL + r"\s*\*\s*([^@]*)", 1)
+    body = F.regexp_replace(F.coalesce(F.col(body_col), F.lit("")), "\x01", "")
+    body = F.regexp_replace(body, r"(?m)#.*$", "")  # spec: # starts a comment
+    marked = F.regexp_replace(body, r"(?i)User-agent\s*:", _UA_SENTINEL)
+    # section = wildcard group's directives, up to the next user-agent line
+    section = F.regexp_extract(marked, "(?is)\x01\\s*\\*\\s*([^\x01]*)", 1)
     disallow = F.filter(
         F.regexp_extract_all(section, F.lit(r"(?i)Disallow\s*:[ \t]*(\S*)"), F.lit(1)),
         lambda p: p != "",  # empty Disallow: = allow-all, drop it
     )
     delay_raw = F.regexp_extract(section, r"(?i)Crawl-delay\s*:[ \t]*([0-9.]+)", 1)
     delay = F.when(
-        delay_raw.rlike(r"^[0-9.]+$") & (delay_raw != ""),
-        delay_raw.cast("double"),
+        delay_raw.rlike(r"^[0-9]+(\.[0-9]+)?$"),
+        F.coalesce(delay_raw.cast("double"), F.lit(default_delay_s)),
     ).otherwise(F.lit(default_delay_s))
     return bodies.withColumn("robots_disallow", disallow).withColumn(
         "crawl_delay_s", delay

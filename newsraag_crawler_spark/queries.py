@@ -265,21 +265,27 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget/robots operators consume — wildcard-agent section extraction
     (lookahead-free so one regex dialect serves Java and RE2), Disallow
     prefixes (empty value = allow-all), Crawl-delay with default fallback.
-    Fixture rotates: multi-agent body (the * group is NOT first) / a body
-    with only a specific agent / an empty-Disallow * group / no robots at
-    all."""
+    Fixture rotates: multi-agent body (the * group is NOT first, topped by
+    a comment containing '@' — the r4 ADVICE truncation shape) / a body
+    with only a specific agent / an empty-Disallow * group with a
+    MALFORMED Crawl-delay (1.2.3 → default, not NULL/error) / no robots
+    at all."""
     from .operators.politeness import parse_robots
 
     i = F.col("doc_id")
     nl = F.lit("\n")
     v0 = F.concat(
+        F.lit("# contact: admin@example.com"), nl,
         F.lit("User-agent: badbot"), nl, F.lit("Disallow: /"), nl,
         F.lit("User-agent: *"), nl, F.lit("Disallow: /private"), nl,
         F.lit("Disallow: /tmp"), nl,
         F.lit("Crawl-delay: "), (F.pmod(i, F.lit(5)) + 1).cast("string"), F.lit(".5"),
     )
     v1 = F.concat(F.lit("User-agent: googlebot"), nl, F.lit("Disallow: /secret"))
-    v2 = F.concat(F.lit("User-agent: *"), nl, F.lit("Disallow:"), nl)
+    v2 = F.concat(
+        F.lit("User-agent: *"), nl, F.lit("Disallow:"), nl,
+        F.lit("Crawl-delay: 1.2.3"), nl,
+    )
     body = (
         F.when(F.pmod(i, F.lit(4)) == 0, v0)
         .when(F.pmod(i, F.lit(4)) == 1, v1)
@@ -303,20 +309,26 @@ _SQL_ROBOTS_PARSE = r"""
 WITH d AS (
   SELECT doc_id, 'h' || doc_id::VARCHAR || '.example.com' AS host,
     CASE doc_id % 4
-      WHEN 0 THEN 'User-agent: badbot' || chr(10) || 'Disallow: /' || chr(10)
+      WHEN 0 THEN '# contact: admin@example.com' || chr(10)
+        || 'User-agent: badbot' || chr(10) || 'Disallow: /' || chr(10)
         || 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
         || 'Disallow: /tmp' || chr(10)
         || 'Crawl-delay: ' || ((doc_id % 5) + 1)::VARCHAR || '.5'
       WHEN 1 THEN 'User-agent: googlebot' || chr(10) || 'Disallow: /secret'
       WHEN 2 THEN 'User-agent: *' || chr(10) || 'Disallow:' || chr(10)
+        || 'Crawl-delay: 1.2.3' || chr(10)
       ELSE NULL END AS robots_txt
   FROM documents WHERE doc_id < 500),
 m AS (SELECT host,
-        regexp_replace(COALESCE(robots_txt, ''), 'User-agent\s*:', '@@UA@@', 'gi')
-          AS marked
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(COALESCE(robots_txt, ''), chr(1), '', 'g'),
+            '(?m)#.*$', '', 'g'),
+          'User-agent\s*:', chr(1), 'gi') AS marked
       FROM d),
 s AS (SELECT host,
-        regexp_extract(marked, '(?is)@@UA@@\s*\*\s*([^@]*)', 1) AS section
+        regexp_extract(marked,
+          '(?is)' || chr(1) || '\s*\*\s*([^' || chr(1) || ']*)', 1) AS section
       FROM m),
 p AS (SELECT host,
         list_filter(regexp_extract_all(section, '(?i)Disallow\s*:[ \t]*(\S*)', 1),
@@ -324,8 +336,8 @@ p AS (SELECT host,
         regexp_extract(section, '(?i)Crawl-delay\s*:[ \t]*([0-9.]+)', 1) AS delay_raw
       FROM s)
 SELECT host,
-  CASE WHEN delay_raw <> '' AND regexp_matches(delay_raw, '^[0-9.]+$')
-       THEN delay_raw::DOUBLE ELSE 1.0 END AS crawl_delay_s,
+  CASE WHEN regexp_matches(delay_raw, '^[0-9]+(\.[0-9]+)?$')
+       THEN COALESCE(TRY_CAST(delay_raw AS DOUBLE), 1.0) ELSE 1.0 END AS crawl_delay_s,
   CAST(to_json(dis) AS VARCHAR) AS disallow_json,
   len(dis)::INT AS n_rules
 FROM p

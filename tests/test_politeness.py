@@ -200,3 +200,41 @@ def test_parse_robots_composes_with_apply_robots(spark):
     assert {r.url for r in blocked.collect()} == {"https://a.com/private/x"}
     assert {r.url for r in allowed.collect()} == {
         "https://a.com/articles/1", "https://b.com/anything"}
+
+
+def test_parse_robots_hostile_bodies(spark):
+    """r4 ADVICE regressions: '@' in a comment must NOT truncate the
+    wildcard section (the old '@'-sentinel bug); '#'-comments are stripped
+    per spec; a malformed Crawl-delay (1.2.3) falls back to the default
+    instead of casting to NULL; a pre-existing sentinel byte is stripped."""
+    from pyspark.sql import Row
+
+    from newsraag_crawler_spark.operators.politeness import parse_robots
+
+    bodies = spark.createDataFrame(
+        [
+            # '@' in a comment BEFORE the rules it used to truncate
+            Row(host="at.com", robots_txt=(
+                "# webmaster: ops@at.com\n"
+                "User-agent: *\n"
+                "Disallow: /a  # '@' again: x@y\n"
+                "Disallow: /b\n"
+                "Crawl-delay: 2.5\n")),
+            # malformed delay → default, not NULL
+            Row(host="bad.com", robots_txt=(
+                "User-agent: *\nDisallow: /x\nCrawl-delay: 1.2.3\n")),
+            Row(host="dot.com", robots_txt=(
+                "User-agent: *\nCrawl-delay: .\n")),
+            # hostile pre-existing sentinel byte is stripped, not honored
+            Row(host="ctl.com", robots_txt=(
+                "\x01 *\nDisallow: /evil\n"
+                "User-agent: *\nDisallow: /real\n")),
+        ]
+    )
+    got = {r.host: r for r in parse_robots(bodies).collect()}
+    assert got["at.com"].robots_disallow == ["/a", "/b"]
+    assert got["at.com"].crawl_delay_s == 2.5
+    assert got["bad.com"].robots_disallow == ["/x"]
+    assert got["bad.com"].crawl_delay_s == 1.0
+    assert got["dot.com"].crawl_delay_s == 1.0
+    assert got["ctl.com"].robots_disallow == ["/real"]
