@@ -6,12 +6,14 @@ entry(spark)  — flagship: an end-to-end reference-equivalence crawl cycle
 queries()     — one entry per implemented operator (SURVEY.md §2), each
                 (spark, sf_dir) -> DataFrame.
 oracle_sql()  — DuckDB-equivalent SQL per query (same column names/types).
-                Every catalog query is SQL-gated (r4: image_stats and
-                image_resize now gate their decoded-dimension/fmt outputs
-                in SQL too); binary pixel CONTENT (bytes, mean_lum,
-                pixel-phash) is not SQL-expressible and carries pure-Python
-                golden oracles in tests/test_images.py and
-                tests/test_wave_oracle.py.
+                Every catalog query is SQL-gated, and the catalog is
+                EXACTLY 50 entries so the external driver's 50-query
+                correctness gate covers all of them (r5: top_revenue_
+                orders/events_daily_rollup retired as duplicate shapes,
+                image_stats+image_resize merged into image_pipeline).
+                Binary pixel CONTENT (bytes, mean_lum, pixel-phash) is not
+                SQL-expressible and carries pure-Python golden oracles in
+                tests/test_images.py and tests/test_wave_oracle.py.
 """
 
 from __future__ import annotations

@@ -66,8 +66,31 @@ def kmeans_assign(
 ) -> DataFrame:
     """Lloyd's k-means over pre-quantized integer vectors, seeded from the
     k lowest ids, running ``iters`` assignment passes with centroid
-    recomputation between passes. Returns (id_col, cluster)."""
-    pts = emb.select(F.col(id_col).alias("_id"), F.col(qvec_col).alias("_q"))
+    recomputation between passes. Returns (id_col, cluster).
+
+    Out-of-spec inputs ERROR instead of silently drifting (r4 ADVICE):
+    the int64 exactness of ``_dist_num`` needs |q| ≤ 2^13, per-cluster
+    n ≤ 2^13 and dim ≤ 512 (term bound dim·4·n²·q² < 2^63) — beyond
+    those, Spark's long arithmetic wraps (ANSI off) while DuckDB promotes
+    to HUGEINT, so the engines would diverge without failing. Each bound
+    is enforced at runtime via an assert_true threaded through the value
+    column (so Catalyst cannot prune it away).
+    """
+    if dim * 4 * (QSCALE**2) * (QSCALE**2) >= 2**63:
+        raise ValueError(
+            f"kmeans_assign: dim={dim} overflows the int64 distance bound "
+            f"(dim·4·2^26·2^26 must stay < 2^63, i.e. dim ≤ 512)"
+        )
+    q_ok = ~F.exists(
+        F.col(qvec_col), lambda x: (x > QSCALE) | (x < -QSCALE) | x.isNull()
+    )
+    q_checked = F.when(
+        F.assert_true(
+            q_ok, F.lit("kmeans_assign: |q| > 2^13 breaks int64 exactness")
+        ).isNull(),
+        F.col(qvec_col),
+    )
+    pts = emb.select(F.col(id_col).alias("_id"), q_checked.alias("_q"))
     cent = pts.filter(F.col("_id") < k).select(
         F.col("_id").cast("int").alias("cid"),
         F.col("_q").alias("svec"),
@@ -75,6 +98,14 @@ def kmeans_assign(
     )
 
     def assign(c: DataFrame) -> DataFrame:
+        n_checked = F.when(
+            F.assert_true(
+                F.col("n") <= QSCALE,
+                F.lit("kmeans_assign: cluster count n > 2^13 breaks int64 exactness"),
+            ).isNull(),
+            F.col("n"),
+        ).alias("n")
+        c = c.select("cid", "svec", n_checked)
         scored = pts.crossJoin(F.broadcast(c)).withColumn(
             "_dn", _dist_num(F.col("_q"), F.col("svec"), F.col("n"))
         )

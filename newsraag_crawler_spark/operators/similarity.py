@@ -53,13 +53,25 @@ def cosine_topk(
     vec_col: str = "embedding",
     qid_col: str = "query_id",
     qvec_col: str = "query_vec",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k neighbors per query (brute force, broadcast queries).
 
     Scale note: cost is |corpus| × |queries| dot products, all JVM-side —
     the right baseline whenever queries are few; for query sets that don't
-    broadcast, use srp_topk.
+    broadcast, use srp_topk. A query set larger than ``max_queries`` is
+    REFUSED (r4 VERDICT #5: misuse would silently build an O(N×Q) cross
+    product); raise the cap explicitly only if you mean it. The probe is
+    a cheap limit-scan — it never counts the full query set.
     """
+    n_probe = queries.limit(max_queries + 1).count()
+    if n_probe > max_queries:
+        raise ValueError(
+            f"cosine_topk: query set exceeds max_queries={max_queries} "
+            f"(> {max_queries} rows). Brute force is O(|corpus|×|queries|) — "
+            "use srp_topk/ivf_topk for large query sets, or raise max_queries "
+            "explicitly."
+        )
     joined = corpus.crossJoin(F.broadcast(queries))
     scored = joined.select(
         F.col(qid_col),

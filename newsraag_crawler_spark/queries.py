@@ -2223,6 +2223,29 @@ FROM hh
 """
 
 
+def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal end-to-end, one gated query (r4 VERDICT #1: the driver's
+    correctness gate caps at 50 catalog entries, so the two image queries
+    merge): ``stats`` rows are fetch → decode → feature-extract (dims off
+    the decoded pixels), ``resize`` rows add decode → 16×16 nearest-
+    neighbor resize → re-encode → re-decode. The SQL oracle states both
+    contracts; pixel contents (binary codec products) stay golden-tested
+    in tests/test_images.py via q_image_stats/q_image_resize(full=True)."""
+    stats = q_image_stats(spark, sf_dir).withColumn("stage", F.lit("stats"))
+    resized = q_image_resize(spark, sf_dir).withColumn("stage", F.lit("resize"))
+    return stats.unionByName(resized)
+
+
+def _sql_image_pipeline() -> str:
+    return (
+        "SELECT *, 'stats' AS stage FROM ({})\n"
+        "UNION ALL\nSELECT *, 'resize' AS stage FROM ({})".format(
+            _SQL_IMAGE_STATS.format(url=_URL_DUCK),
+            _SQL_IMAGE_RESIZE.format(url=_URL_DUCK),
+        )
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints, fully relational (explode → JVM hash → bit-vote
     aggregation) — portable md5 hashing so DuckDB reproduces every bit."""
@@ -2729,117 +2752,123 @@ FROM c
 
 
 def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EXACTLY 50 entries, crawl-specific first (r4 VERDICT #1: the
+    driver's correctness gate records the first 50 catalog queries, so the
+    catalog is pruned to fit — ``top_revenue_orders``/``events_daily_
+    rollup`` retired as duplicates of the tpch_q1/token_budget shapes,
+    ``image_stats``+``image_resize`` merged into ``image_pipeline``; the
+    retired query fns remain for pytest plan/golden coverage)."""
     return {
-        "tpch_q1_pricing_summary": q_tpch_q1,
-        "top_revenue_orders": q_top_revenue_orders,
-        "events_daily_rollup": q_events_daily,
+        # crawl core: canonicalize → seen → politeness → schedule → wave
         "url_canonicalize": q_url_canonicalize,
         "seen_antijoin": q_seen_antijoin,
-        "per_source_cap": q_per_source_cap,
+        "bloom_seen_filter": q_bloom_seen_filter,
+        "cuckoo_seen_filter": q_cuckoo_seen_filter,
         "politeness_waves": q_politeness_waves,
         "robots_parse": q_robots_parse,
-        "content_chunking": q_content_chunking,
-        "fuzzy_date_parse": q_fuzzy_date_parse,
-        "tz_blobpath": q_tz_blobpath,
-        "host_health": q_host_health,
-        "status_pivot": q_status_pivot,
-        "trend_window": q_trend_window,
-        "retention_delete": q_retention_delete,
-        "token_budget_gate": q_token_budget,
+        "reference_schedule": q_reference_schedule,
+        "per_source_cap": q_per_source_cap,
         "newest_first_order": q_newest_first,
         "url_classifier": q_url_classifier,
-        "smart_truncation": q_smart_truncation,
-        "llm_json_extract": q_llm_json_extract,
+        "fetch_metadata": q_fetch_metadata,
+        "discover_links": q_discover_links,
+        "rss_autodiscovery": q_rss_autodiscovery,
+        "crawl_wave_scale": q_crawl_wave_scale,
+        "image_pipeline": q_image_pipeline,
+        # parsing / extraction
+        "rss_items_parse": q_rss_items,
+        "robust_parse_quarantine": q_robust_parse,
+        "xml_repair": q_xml_repair,
         "html_text_extract": q_html_text_extract,
         "html_date_extract": q_html_date_extract,
-        "xml_repair": q_xml_repair,
-        "robust_parse_quarantine": q_robust_parse,
-        "rss_items_parse": q_rss_items,
-        "reference_schedule": q_reference_schedule,
+        "fuzzy_date_parse": q_fuzzy_date_parse,
+        "tz_blobpath": q_tz_blobpath,
+        "content_chunking": q_content_chunking,
+        "smart_truncation": q_smart_truncation,
+        "llm_json_extract": q_llm_json_extract,
+        "legacy_config_convert": q_legacy_config_convert,
+        "extraction_fallback": q_extraction_fallback,
+        "method_stats": q_method_stats,
+        # dedup / similarity
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_winnowing": q_dedup_winnowing,
+        "simhash_fingerprint": q_simhash,
+        "phash_hamming_pairs": q_phash_hamming,
+        "dedup_embedding_cosine": q_dedup_embedding,
+        "crawl_embedding_neardup": q_crawl_embedding_neardup,
         "text_quality": q_text_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "srp_ann_topk": q_srp_ann,
         "ivf_ann_topk": q_ivf_ann,
         "kmeans_clusters": q_kmeans_clusters,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
-        "dedup_embedding_cosine": q_dedup_embedding,
-        "crawl_embedding_neardup": q_crawl_embedding_neardup,
-        "phash_hamming_pairs": q_phash_hamming,
+        # stats / rollups
         "crawl_cycle_stats": q_cycle_stats,
         "dup_detector_stats": q_dup_detector_stats,
-        "legacy_config_convert": q_legacy_config_convert,
-        "bloom_seen_filter": q_bloom_seen_filter,
-        "cuckoo_seen_filter": q_cuckoo_seen_filter,
-        "simhash_fingerprint": q_simhash,
-        "srp_ann_topk": q_srp_ann,
-        "fetch_metadata": q_fetch_metadata,
-        "discover_links": q_discover_links,
-        "rss_autodiscovery": q_rss_autodiscovery,
-        "method_stats": q_method_stats,
-        "extraction_fallback": q_extraction_fallback,
-        # rows-only (no SQL oracle: binary image codecs)
-        "image_stats": q_image_stats,
-        "image_resize": q_image_resize,
-        "crawl_wave_scale": q_crawl_wave_scale,
+        "host_health": q_host_health,
+        "status_pivot": q_status_pivot,
+        "trend_window": q_trend_window,
+        "token_budget_gate": q_token_budget,
+        "retention_delete": q_retention_delete,
+        # generic OLAP sanity (last: lowest stakes if a gate ever caps)
+        "tpch_q1_pricing_summary": q_tpch_q1,
     }
 
 
 def oracles() -> dict[str, str]:
+    """One DuckDB oracle per catalog entry — the rows-only surface stays
+    EMPTY (asserted in tests/test_entry.py). Same order as catalog()."""
     return {
-        "tpch_q1_pricing_summary": _SQL_TPCH_Q1,
-        "top_revenue_orders": _SQL_TOP_REVENUE,
-        "events_daily_rollup": _SQL_EVENTS_DAILY,
         "url_canonicalize": _sql_url_canonicalize(),
         "seen_antijoin": _sql_seen_antijoin(),
-        "per_source_cap": _SQL_PER_SOURCE_CAP,
+        "bloom_seen_filter": _sql_bloom_seen(),
+        "cuckoo_seen_filter": _sql_cuckoo_seen(),
         "politeness_waves": _SQL_POLITENESS,
         "robots_parse": _SQL_ROBOTS_PARSE,
-        "content_chunking": _SQL_CHUNKING,
-        "fuzzy_date_parse": _sql_fuzzy_date(),
-        "tz_blobpath": _SQL_TZ_BLOB,
-        "host_health": _SQL_HOST_HEALTH,
-        "status_pivot": _SQL_STATUS_PIVOT,
-        "trend_window": _SQL_TREND,
-        "retention_delete": _SQL_RETENTION,
-        "token_budget_gate": _SQL_TOKEN_BUDGET,
+        "reference_schedule": _sql_reference_schedule(),
+        "per_source_cap": _SQL_PER_SOURCE_CAP,
         "newest_first_order": _SQL_NEWEST_FIRST,
         "url_classifier": _sql_url_classifier(),
-        "smart_truncation": _sql_smart_truncation(),
-        "llm_json_extract": _sql_llm_json_extract(),
+        "fetch_metadata": _sql_fetch_metadata(),
+        "discover_links": _sql_discover_links(),
+        "rss_autodiscovery": _sql_rss_autodiscovery(),
+        "crawl_wave_scale": _sql_crawl_wave_scale(),
+        "image_pipeline": _sql_image_pipeline(),
+        "rss_items_parse": _sql_rss_items(),
+        "robust_parse_quarantine": _sql_robust_parse(),
+        "xml_repair": _sql_xml_repair(),
         "html_text_extract": _sql_html_text_extract(),
         "html_date_extract": _sql_html_date_extract(),
-        "xml_repair": _sql_xml_repair(),
-        "robust_parse_quarantine": _sql_robust_parse(),
-        "rss_items_parse": _sql_rss_items(),
-        "reference_schedule": _sql_reference_schedule(),
+        "fuzzy_date_parse": _sql_fuzzy_date(),
+        "tz_blobpath": _SQL_TZ_BLOB,
+        "content_chunking": _SQL_CHUNKING,
+        "smart_truncation": _sql_smart_truncation(),
+        "llm_json_extract": _sql_llm_json_extract(),
+        "legacy_config_convert": _SQL_LEGACY_CONFIG,
+        "extraction_fallback": _SQL_EXTRACTION_FALLBACK,
+        "method_stats": _SQL_METHOD_STATS,
         "dedup_exact": _sql_dedup_exact(),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "dedup_ngram_jaccard": _sql_dedup_jaccard(),
         "dedup_winnowing": _sql_dedup_winnowing(),
+        "simhash_fingerprint": _sql_simhash(),
+        "phash_hamming_pairs": _sql_phash_hamming(),
+        "dedup_embedding_cosine": _sql_dedup_embedding(),
+        "crawl_embedding_neardup": _sql_crawl_embedding_neardup(),
         "text_quality": _sql_text_quality(),
         "ann_cosine_topk": _SQL_ANN_TOPK,
+        "srp_ann_topk": _sql_srp_ann(),
         "ivf_ann_topk": _SQL_IVF_ANN,
         "kmeans_clusters": _sql_kmeans_clusters(),
         "ivf_kmeans_topk": _sql_ivf_kmeans(),
-        "dedup_embedding_cosine": _sql_dedup_embedding(),
-        "crawl_embedding_neardup": _sql_crawl_embedding_neardup(),
-        "crawl_wave_scale": _sql_crawl_wave_scale(),
-        "phash_hamming_pairs": _sql_phash_hamming(),
         "crawl_cycle_stats": _SQL_CYCLE_STATS,
         "dup_detector_stats": _SQL_DUP_DETECTOR,
-        "legacy_config_convert": _SQL_LEGACY_CONFIG,
-        "bloom_seen_filter": _sql_bloom_seen(),
-        "cuckoo_seen_filter": _sql_cuckoo_seen(),
-        "simhash_fingerprint": _sql_simhash(),
-        "srp_ann_topk": _sql_srp_ann(),
-        "fetch_metadata": _sql_fetch_metadata(),
-        "discover_links": _sql_discover_links(),
-        "rss_autodiscovery": _sql_rss_autodiscovery(),
-        "method_stats": _SQL_METHOD_STATS,
-        "extraction_fallback": _SQL_EXTRACTION_FALLBACK,
-        "image_stats": _SQL_IMAGE_STATS.format(url=_URL_DUCK),
-        "image_resize": _SQL_IMAGE_RESIZE.format(url=_URL_DUCK),
+        "host_health": _SQL_HOST_HEALTH,
+        "status_pivot": _SQL_STATUS_PIVOT,
+        "trend_window": _SQL_TREND,
+        "token_budget_gate": _SQL_TOKEN_BUDGET,
+        "retention_delete": _SQL_RETENTION,
+        "tpch_q1_pricing_summary": _SQL_TPCH_Q1,
     }

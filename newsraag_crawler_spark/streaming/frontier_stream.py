@@ -115,9 +115,18 @@ def stream_crawl(
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        # within-batch first-occurrence dedup on the canonical key, then the
-        # exact durable layer (see docstring)
-        batch_df = batch_df.dropDuplicates(["surt_url"])
+        # within-batch dedup on the canonical key with a DETERMINISTIC
+        # winner (r4 ADVICE: dropDuplicates keeps an arbitrary row, so
+        # which utm/fragment clone got fetched varied run-to-run):
+        # earliest politeness slot wins, url as total tie-break
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("surt_url").orderBy("scheduled_at_s", "url")
+        batch_df = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         if seen_table.exists():
             batch_df = batch_df.join(
                 seen_table.read().select(F.col("key").alias("surt_url")),

@@ -60,6 +60,25 @@ def test_iteration_reduces_or_holds_cost(spark):
     assert c2 <= c1 + 1e-6, (c1, c2)
 
 
+def test_out_of_spec_inputs_error_loudly(spark):
+    """r4 ADVICE: beyond |q| ≤ 2^13 / dim ≤ 512, Spark's int64 wraps while
+    DuckDB promotes to HUGEINT — silent cross-engine drift. Out-of-spec
+    inputs must therefore RAISE, not drift."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    emb = _emb(spark)
+    hot = emb.withColumn(
+        "qvec", F.transform("qvec", lambda x: x + F.lit(1 << 20))
+    )
+    with pytest.raises(Exception) as ei:
+        kmeans_assign(hot, iters=1).collect()
+    assert "2^13" in str(ei.value)
+
+    with pytest.raises(ValueError, match="dim"):
+        kmeans_assign(emb, iters=1, dim=513)
+
+
 def test_centroids_match_final_assignment_sums(spark):
     """kmeans_centroids must equal per-cluster integer sums + counts of the
     final assignment — verified in python (exact integers both sides)."""

@@ -82,6 +82,13 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.schema) > 0
 
 
+def test_catalog_fits_driver_gate():
+    """r4 VERDICT #1: the external driver's correctness gate records only
+    the first 50 catalog entries — a 51st query would silently lose its
+    driver-verified row. Pin the size so growth forces a prune decision."""
+    assert len(ALL_KEYS) == 50, len(ALL_KEYS)
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     n = df.count()

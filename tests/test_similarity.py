@@ -34,6 +34,20 @@ def test_cosine_topk_matches_numpy(spark):
         assert got_ids == list(order), q
 
 
+def test_cosine_topk_refuses_large_query_sets(spark):
+    """r4 VERDICT #5: a non-broadcastable query set must raise, not build
+    an O(N×Q) cross product; an explicit cap raise is honored."""
+    import pytest
+
+    df, _ = _emb_df(spark, n=60)
+    queries = df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk(df, queries, k=5, max_queries=50)
+    assert cosine_topk(df, queries, k=1, max_queries=60).count() == 60
+
+
 def test_srp_topk_recall(spark):
     """Recall on CLUSTERED data (the regime ANN is for): 20 tight clusters;
     a query's true top-10 are its cluster-mates, which SRP buckets keep."""
