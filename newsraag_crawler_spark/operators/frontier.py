@@ -191,8 +191,17 @@ def priority_frontier(
     (operators/politeness.py) turns host_rank into wave/offset assignments.
     The shuffle here is BY HOST — the same partitioning politeness and fetch
     reuse, so ranking, budgeting and fetching are one exchange.
+
+    Aging (r4 VERDICT #8): when the frontier carries a ``carried_offset``
+    column (budget-spilled rows re-enter with their previous wave_offset
+    MINUS ONE; fresh arrivals carry NULL), it is the primary sort key —
+    ascending, NULLs last — so a spilled row can never be pre-empted
+    indefinitely by newer same-host arrivals: each wave strictly decrements
+    its offset until it schedules. This is the politeness docstring's
+    "spill returns with wave_offset decremented" contract made real.
     """
-    w = Window.partitionBy(host_col).orderBy(
-        F.col(score_col).desc(), F.col(rank_col).asc()
-    )
+    keys = [F.col(score_col).desc(), F.col(rank_col).asc()]
+    if "carried_offset" in frontier.columns:
+        keys.insert(0, F.col("carried_offset").asc_nulls_last())
+    w = Window.partitionBy(host_col).orderBy(*keys)
     return frontier.withColumn("host_rank", F.row_number().over(w))

@@ -243,6 +243,31 @@ def run_equivalence_cycle(
     return ScheduleResult(sched.attempted, corpus, sched.stats)
 
 
+def _unhealthy_hosts(health_t, wave: int, streak: int = 3) -> DataFrame | None:
+    """Hosts whose last ``streak`` waves (ending at wave-1) were ALL
+    complete failures → skip next wave (F5 gate in the wave path, r4
+    VERDICT #7). A host with no row in any of those waves (skipped, or no
+    frontier rows) breaks the streak — that absence is the one-wave
+    cooldown after which the host is re-probed. Output is a tiny dim
+    (≤ #hosts with 3 bad waves) — broadcast by the caller."""
+    if wave < streak or not health_t.exists():
+        return None
+    h = health_t.read().filter(
+        (F.col("wave") >= wave - streak) & (F.col("wave") < wave)
+    )
+    return (
+        h.withColumn(
+            "_bad",
+            ((F.col("failed") == F.col("attempted")) & (F.col("attempted") > 0))
+            .cast("int"),
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("_n"), F.min("_bad").alias("_allbad"))
+        .filter((F.col("_n") >= streak) & (F.col("_allbad") == 1))
+        .select("host")
+    )
+
+
 def run_crawl(
     spark,
     seeds: DataFrame,
@@ -252,14 +277,31 @@ def run_crawl(
     links_per_page: int = 0,
     n_articles: int | None = None,
     seed: int = 42,
+    failure_expr=None,
+    max_attempts: int = 3,
+    health_streak: int = 3,
 ) -> dict:
     """Multi-wave crawl driver with snapshot resume (SURVEY.md §7.1 M5).
 
-    tables: {'frontier','corpus','seen','metrics'} → SnapshotTable. Each
-    wave commits corpus+seen+frontier+metrics snapshots; a killed run
-    resumes from the frontier table's lineage (wave number) — the Iceberg
-    checkpoint pattern replacing the reference's heartbeat/seen-cache files
+    tables: {'frontier','corpus','seen','metrics'} → SnapshotTable, plus
+    OPTIONAL 'dead' (dead-letter URLs after max_attempts) and 'health'
+    (per-wave per-host attempted/failed counts). Each wave commits
+    corpus+seen+frontier+metrics snapshots; a killed run resumes from the
+    frontier table's lineage (wave number) — the Iceberg checkpoint
+    pattern replacing the reference's heartbeat/seen-cache files
     (`main.py:262-268`, `seen_tracker.py:67-82`).
+
+    With ``failure_expr`` set (see run_scale_wave), failed fetches re-enter
+    the next wave's frontier with attempt+1 / carried_offset=0 and their
+    progressive timeout budget, and dead-letter into tables['dead'] after
+    ``max_attempts`` (reference R3 progressive timeouts as wave re-entry).
+
+    With tables['health'] present, a host whose last ``health_streak``
+    waves were all complete failures is SKIPPED for the next wave (its
+    rows defer, unconsumed, to the following wave) — the reference's
+    per-cycle unhealthy-source skip (`main.py:362-374`). A skipped wave
+    leaves no health row, which breaks the streak, so the host is
+    re-probed one wave later and resumes fully once a fetch succeeds.
 
     Returns {'waves_run': int, 'last_wave': int}.
     """
@@ -268,16 +310,28 @@ def run_crawl(
     frontier_t, corpus_t, seen_t, metrics_t = (
         tables["frontier"], tables["corpus"], tables["seen"], tables["metrics"],
     )
+    dead_t = tables.get("dead")
+    health_t = tables.get("health")
     if frontier_t.exists():
         lin = frontier_t.current_lineage() or {}
-        wave = int(lin.get("next_wave", 0))
+        # loud resume (r4 VERDICT #9): a frontier snapshot whose lineage
+        # lost the contract keys would otherwise silently restart at wave 0
+        # and refetch everything
+        if "next_wave" not in lin:
+            raise ValueError(
+                f"run_crawl resume: frontier table {frontier_t.path} current "
+                f"lineage {lin!r} is missing 'next_wave' — refusing to guess "
+                "(see storage.snapshot_store docstring for the per-table "
+                "lineage schema)"
+            )
+        wave = int(lin["next_wave"])
         # idempotent resume: the frontier commit is the wave's commit point.
         # A crash AFTER corpus/seen appends but BEFORE the frontier overwrite
         # leaves orphaned corpus/seen/metrics snapshots for wave >= next_wave;
         # re-running the wave would then append duplicate corpus rows. Roll
         # those tables back to their last snapshot from a completed wave.
-        for t in (corpus_t, seen_t, metrics_t):
-            if t.exists():
+        for t in (corpus_t, seen_t, metrics_t, dead_t, health_t):
+            if t is not None and t.exists():
                 cur = t.current_lineage() or {}
                 if int(cur.get("wave", -1)) >= wave:
                     t.rollback_where(lambda l, w=wave: int(l.get("wave", -1)) < w)
@@ -298,24 +352,54 @@ def run_crawl(
         if n_frontier == 0 or (n_frontier is None and frontier.isEmpty()):
             break
         seen = seen_t.read() if seen_t.exists() else None
+        unhealthy = (
+            _unhealthy_hosts(health_t, wave, streak=health_streak)
+            if health_t is not None
+            else None
+        )
         out = run_scale_wave(
             frontier, policies, seen, wave=wave, seed=seed,
             links_per_page=links_per_page, n_articles=n_articles,
+            failure_expr=failure_expr, max_attempts=max_attempts,
+            unhealthy_hosts=unhealthy,
         )
         # write-then-count: the committed parquet footers give the row count,
         # so the fetch UDF (the costliest stage) executes exactly once
         corpus_t.append(out["corpus"], lineage={"wave": wave}, count_rows=True)
         n_fetched = int((corpus_t.current_lineage() or {}).get("rows", 0))
         seen_t.append(out["seen_additions"], lineage={"wave": wave})
+        # spill ages: carried_offset = wave_offset - 1 (see priority_frontier)
         next_frontier = out["spill"].select(
-            "url", "source_id", "feed_rank", "score",
+            "url", "source_id", "feed_rank", "score", "attempt",
+            (F.col("wave_offset") - 1).cast("int").alias("carried_offset"),
         ).withColumn("wave", F.lit(wave + 1))
+        if "retry" in out:
+            retries = out["retry"].select(
+                "url", "source_id", "feed_rank", "score", "attempt",
+                F.lit(0).cast("int").alias("carried_offset"),
+                F.lit(wave + 1).alias("wave"),
+            )
+            next_frontier = next_frontier.unionByName(retries)
+            if dead_t is not None:
+                dead_t.append(
+                    out["dead"].select("url", "host", "source_id", "attempt"),
+                    lineage={"wave": wave},
+                )
+        if "deferred" in out:
+            next_frontier = next_frontier.unionByName(
+                out["deferred"].select(
+                    "url", "source_id", "feed_rank", "score", "attempt",
+                    "carried_offset",
+                ).withColumn("wave", F.lit(wave + 1))
+            )
         if "new_links" in out:
             fresh = out["new_links"].select(
                 "url",
                 F.lit(-1).alias("source_id"),
                 F.xxhash64("url").alias("feed_rank"),
                 F.lit(0.5).alias("score"),
+                F.lit(0).alias("attempt"),
+                F.lit(None).cast("int").alias("carried_offset"),
                 F.lit(wave + 1).alias("wave"),
             )
             next_frontier = next_frontier.unionByName(fresh)
@@ -324,6 +408,11 @@ def run_crawl(
             lineage={"next_wave": wave + 1, "prev_fetched": n_fetched},
             count_rows=True,
         )
+        if health_t is not None:
+            health_t.append(
+                out["host_attempts"].withColumn("wave", F.lit(wave)),
+                lineage={"wave": wave},
+            )
         metrics_t.append(
             spark.createDataFrame(
                 [(wave, n_fetched)], "wave int, fetched long"
@@ -350,14 +439,40 @@ def run_scale_wave(
     links_per_page: int = 0,
     n_articles: int | None = None,
     skew_threshold: int = 10_000,
+    failure_expr=None,
+    max_attempts: int = 3,
+    unhealthy_hosts: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
-    """Production wave over a frontier (url, source_id, feed_rank, score).
+    """Production wave over a frontier (url, source_id, feed_rank, score
+    [, attempt, carried_offset]).
 
     Returns dict of DataFrames: corpus (fetched rows), seen_additions,
     spill (budget-deferred frontier rows), blocked (robots), new_links
-    (discovered frontier candidates, canonicalized + within-wave deduped).
+    (discovered frontier candidates, canonicalized + within-wave deduped),
+    host_attempts (per-host attempted/failed counts for the health gate).
     All lazy — caller commits them to snapshot tables.
+
+    Failure + retry (r4 VERDICT #6, reference progressive timeouts
+    `crawl4ai_extractor.py:108,128-193`): ``failure_expr`` is an injectable
+    boolean Column over the scheduled rows (may reference ``host``/``url``/
+    ``attempt``) marking fetches that FAIL this wave — the synthetic stand-
+    in for network errors. Failed rows skip the fetch and are split by
+    operators.politeness.retry_schedule into ``retry`` (re-enter the next
+    wave with attempt+1 and the progressive timeout budget) and ``dead``
+    (exhausted max_attempts). Failed-but-retryable URLs are NOT marked
+    seen — only successes and dead-letters are — so the seen anti-join
+    cannot swallow a retry. failure_expr=None keeps the zero-overhead
+    no-failure path (bench/production default: real fetch errors would
+    surface as a success column from the fetch stage itself).
+
+    Health gate (r4 VERDICT #7, reference `main.py:362-374` skips
+    unhealthy sources per cycle): ``unhealthy_hosts`` (tiny dim: host) is
+    anti-joined out BEFORE robots/seen work; skipped rows come back as
+    ``deferred`` so they re-enter the next wave's frontier unconsumed.
     """
+    for col, default in (("attempt", F.lit(0)), ("carried_offset", F.lit(None).cast("int"))):
+        if col not in frontier.columns:
+            frontier = frontier.withColumn(col, default)
     f = (
         frontier.withColumn("surt_url", surt_url(F.col("url")))
         .withColumn("host", url_host(F.col("url")))
@@ -365,6 +480,11 @@ def run_scale_wave(
             "path", F.regexp_extract(F.col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
         )
     )
+    out: dict[str, DataFrame] = {}
+    if unhealthy_hosts is not None:
+        dim = F.broadcast(unhealthy_hosts.select("host"))
+        out["deferred"] = f.join(dim, "host", "left_semi")
+        f = f.join(dim, "host", "left_anti")
     allowed, blocked = apply_robots(f, policies)
     if seen is not None:
         allowed = allowed.join(
@@ -381,8 +501,27 @@ def run_scale_wave(
     # so the upstream (canonicalize → robots → seen filter → windows) runs
     # once per wave, not once per consumer branch
     due = due.persist()
-    census = skew_census(due, threshold=skew_threshold)
-    salted = salt_hot_hosts(due, census)
+    if failure_expr is None:
+        due_ok = due
+        seen_keys = due.select("surt_url")
+        host_attempts = due.groupBy("host").agg(
+            F.count("*").alias("attempted"), F.lit(0).cast("long").alias("failed")
+        )
+    else:
+        from .politeness import retry_schedule
+
+        attempted = due.withColumn("success", ~failure_expr)
+        succeeded, retry, dead = retry_schedule(attempted, max_attempts=max_attempts)
+        due_ok = succeeded
+        out["retry"] = retry
+        out["dead"] = dead
+        seen_keys = succeeded.select("surt_url").unionByName(dead.select("surt_url"))
+        host_attempts = attempted.groupBy("host").agg(
+            F.count("*").alias("attempted"),
+            F.sum((~F.col("success")).cast("long")).alias("failed"),
+        )
+    census = skew_census(due_ok, threshold=skew_threshold)
+    salted = salt_hot_hosts(due_ok, census)
     # politeness groups stay intact per host; fetch partitions by fetch_key.
     # EXPLICIT partition count: AQE coalesces byte-small shuffles to one
     # partition, which would serialize the compute-heavy fetch UDF — the
@@ -393,20 +532,22 @@ def run_scale_wave(
     ).withColumn("seq", F.col("host_rank").cast("long"))
     corpus = fetch_images(scheduled, seed=seed, wave=wave)
 
-    out: dict[str, DataFrame] = {
+    out.update({
         "corpus": corpus,
-        "seen_additions": due.select(F.col("surt_url").alias("key")),
+        "seen_additions": seen_keys.select(F.col("surt_url").alias("key")),
         "spill": spill,
         "blocked": blocked,
+        "host_attempts": host_attempts,
         # handle for the caller to unpersist once the wave's commits are done
         "_due_cached": due,
-    }
+    })
     if links_per_page > 0:
         # deterministic synthetic link graph: page /articles/i links to
         # /articles/(i*7+j) mod N on the same host
         art = F.regexp_extract(F.col("url"), "/articles/([0-9]+)", 1).cast("long")
         n_mod = F.lit(n_articles or 1_000_000)
-        links = due.select(
+        # links come from FETCHED pages only: a failed fetch discovers nothing
+        links = due_ok.select(
             "url",
             "host",
             F.explode(

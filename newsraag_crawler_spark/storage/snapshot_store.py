@@ -21,6 +21,28 @@ an atomically-replaced JSON manifest:
 On a real cluster this module is replaced 1:1 by an Iceberg catalog
 (``df.writeTo(tbl).append()`` + snapshot summary properties); the engine
 code only touches this narrow interface, deliberately.
+
+Lineage schema per table (r4 VERDICT #9 — the resume contract; writers
+MUST record these keys or run_crawl's resume refuses loudly instead of
+silently restarting at wave 0):
+
+===========  ==============================================================
+table        required lineage keys (written by operators.wave.run_crawl)
+===========  ==============================================================
+frontier     ``next_wave`` (int: the wave the next run executes — THE
+             resume key), ``prev_fetched`` (int), ``rows`` (int, recorded
+             by count_rows=True so the loop never re-probes emptiness)
+corpus       ``wave`` (int: the wave that appended this snapshot — the
+             rollback predicate for torn waves), ``rows`` (int)
+seen         ``wave`` (int, rollback predicate)
+metrics      ``wave`` (int, rollback predicate)
+dead         ``wave`` (int, rollback predicate) — optional table
+health       ``wave`` (int, rollback predicate) — optional table
+===========  ==============================================================
+
+Streaming (frontier_stream.stream_crawl) writes ``batch_id`` + ``op``
+instead — its resume point is the Structured Streaming checkpoint, not
+table lineage. The bench/state tables (bloom shards etc.) are free-form.
 """
 
 from __future__ import annotations
