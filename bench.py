@@ -526,13 +526,14 @@ def main() -> None:
         scaling["pinned"] = pinned
 
     # ---- 4. multi-wave soak (secondary headline; budget-gated below pairs;
-    # measured cost ~160-190 s at 60k seeds incl. session start, so 240 s
-    # of headroom means it completes instead of truncating the run)
+    # ~110-130 s at 40k seeds incl. session start — sized so it still fits
+    # after a worst-case pair protocol (both pairs re-measured) on a slow
+    # box: the r5 first full run left 172 s and a 240 s gate skipped it)
     soak = {}
-    if RUN_SOAK and _left() > 240:
+    if RUN_SOAK and _left() > 160:
         spark = _fresh_session(CPUS)
         soak = crawl_soak(
-            spark, n_seeds=int(os.environ.get("SPARK_GRAFT_SOAK_SEEDS", "60000"))
+            spark, n_seeds=int(os.environ.get("SPARK_GRAFT_SOAK_SEEDS", "40000"))
         )
         _emit("soak", soak)
         spark.stop()
