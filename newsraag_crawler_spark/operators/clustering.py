@@ -31,7 +31,7 @@ quantized vectors as a matter of course).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 QSCALE = 1 << 13  # power-of-two quantization: floor(x·2^13) is exact for f32
@@ -98,6 +98,21 @@ def kmeans_assign(
     )
 
     def assign(c: DataFrame) -> DataFrame:
+        """Map-side argmin: broadcast the k centroids, score the N×k
+        candidates in place, then take min_by(cid, (distance, cid)) as a
+        PARTIAL-combinable aggregation — the shuffle carries ~N combined
+        rows, not the N×k sorted rows a row_number window would (the
+        pre-r5 shape); the (d, cid) struct ordering key is identical to
+        the old window's orderBy, so assignments are bit-for-bit the
+        same. ``_q`` rides along (its k copies per point are identical,
+        so first() is deterministic), sparing update() a re-join.
+
+        Measured tradeoff (sf0.1, local[32], interleaved A/B): ~0.1s
+        slower per call than the window shape at test scale (hash-agg
+        overhead dominates when the exchange is tiny), but the exchange
+        shrinks from N×k sorted rows carrying two 64-long arrays each to
+        ~N map-side-combined rows carrying one — the shape that matters
+        at cluster scale."""
         n_checked = F.when(
             F.assert_true(
                 F.col("n") <= QSCALE,
@@ -114,21 +129,15 @@ def kmeans_assign(
         scored = scored.withColumn(
             "_d", F.col("_dn").cast("double") / (F.col("n") * F.col("n")).cast("double")
         )
-        w = Window.partitionBy("_id").orderBy("_d", "cid")
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("_id", "cid")
+        return scored.groupBy("_id").agg(
+            F.min_by("cid", F.struct(F.col("_d"), F.col("cid"))).alias("cid"),
+            F.first("_q").alias("_q"),
         )
 
     def update(a: DataFrame) -> DataFrame:
-        return (
-            a.join(pts, "_id")
-            .groupBy("cid")
-            .agg(
-                F.array(*[F.sum(F.col("_q")[i]) for i in range(dim)]).alias("svec"),
-                F.count("*").alias("n"),
-            )
+        return a.groupBy("cid").agg(
+            F.array(*[F.sum(F.col("_q")[i]) for i in range(dim)]).alias("svec"),
+            F.count("*").alias("n"),
         )
 
     for _ in range(iters - 1):
