@@ -189,7 +189,16 @@ def crawl_wave_bench(spark, n_urls: int) -> tuple[int, float]:
         f.withColumnRenamed("surt_url", "key"), seen, shards,
         n_shards=n_shards, n_bits=n_bits, n_hashes=n_hashes,
     ).withColumnRenamed("key", "surt_url")
-    ranked = priority_frontier(fresh, rank_col="feed_rank")
+    # EXPLICIT host exchange feeding the ranking window: AQE coalesces this
+    # byte-small shuffle down to defaultParallelism-derived counts (measured
+    # 9 partitions at local[8] — straggler rounds in the window sort, and a
+    # geometry that CHANGES with core count, which a scaling measurement
+    # must not allow). The window's ClusteredDistribution(host) is satisfied
+    # by the explicit hash partitioning, so no second exchange is added.
+    n_rank_parts = max(128, n_urls // 12_500) if n_urls >= 100_000 else 16
+    ranked = priority_frontier(
+        fresh.repartition(n_rank_parts, F.col("host")), rank_col="feed_rank"
+    )
     budgeted = budget_waves(ranked, policies, default_budget=200, default_delay_s=1.0)
     due, _spill = split_wave(budgeted)
     # census, salt and fetch all consume `due` — materialize it ONCE with a

@@ -493,8 +493,21 @@ def run_scale_wave(
     # within-wave dedup on the canonical key: first by (score desc, rank)
     from .dedup import exact_dedup
 
-    allowed = exact_dedup(allowed, ["surt_url"], ["feed_rank", "url"])
-    ranked = priority_frontier(allowed, rank_col="feed_rank")
+    # EXPLICIT partition counts on the two window exchanges (dedup key,
+    # then host): AQE coalesces these byte-small shuffles down to a
+    # defaultParallelism-derived handful (measured 9 partitions at
+    # local[8]), serializing the window sorts into straggler rounds. The
+    # explicit hash partitioning satisfies each window's required
+    # distribution, so no additional exchange is introduced — same shuffle
+    # count, full parallelism.
+    n_wave_parts = frontier.sparkSession.sparkContext.defaultParallelism * 4
+    allowed = exact_dedup(
+        allowed.repartition(n_wave_parts, F.col("surt_url")),
+        ["surt_url"], ["feed_rank", "url"],
+    )
+    ranked = priority_frontier(
+        allowed.repartition(n_wave_parts, F.col("host")), rank_col="feed_rank"
+    )
     budgeted = budget_waves(ranked, policies)
     due, spill = split_wave(budgeted)
     # census, salting, seen_additions and fetch all consume `due`; persist
