@@ -524,13 +524,14 @@ def main() -> None:
         # dedicated core budget; plain local[N] does not bound python
         # workers, so its "N" under-states the small run's real cores).
         # 600k input keeps the parallel fraction dominant (Amdahl: 200k
-        # measured 0.776, 300k 0.83, 600k 0.90 in r3). Default 2 pairs
-        # (~9.5 min with the r4 fetch kernel: 2-core wave 169 s, 8-core
-        # 47 s) so the soak fits the driver budget too (r4 VERDICT #2);
-        # the conservative lower-middle median + symmetric min-of-2
-        # outlier rule keep 2 pairs an honest floor.
+        # measured 0.776, 300k 0.83, 600k 0.90 in r3; 0.914 after the r5
+        # explicit-window-partitioning fix). Default 3 pairs — a TRUE
+        # median; the r5 wave speedup (2-core 169→126 s, 8-core 47→34.5 s
+        # after pinning the window exchanges) makes 3 pairs + the soak fit
+        # the driver budget together (~700 s for pairs, worst case +230 s
+        # for one symmetric re-measure).
         n_pin = int(os.environ.get("SPARK_GRAFT_PIN_URLS", "600000"))
-        pin_pairs = int(os.environ.get("SPARK_GRAFT_PIN_PAIRS", "2"))
+        pin_pairs = int(os.environ.get("SPARK_GRAFT_PIN_PAIRS", "3"))
         pinned = _pinned_scaling(n_pin, pin_pairs)
         scaling["pinned"] = pinned
 
