@@ -22,7 +22,7 @@ lowest-priority tail.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_URLS (default 1000000),
-SPARK_GRAFT_PIN_URLS / SPARK_GRAFT_PIN_PAIRS (600000 / 2),
+SPARK_GRAFT_PIN_URLS / SPARK_GRAFT_PIN_PAIRS (600000 / 3),
 SPARK_GRAFT_BENCH_BUDGET_S (1620), SPARK_GRAFT_SCALING=0 to skip scaling,
 SPARK_GRAFT_SOAK=0 to skip the multi-wave soak.
 """
