@@ -352,9 +352,16 @@ def _pinned_scaling(n_pin: int, pairs: int) -> dict:
     """
     small_t, big_t, effs = [], [], []
     n_small_rows = n_big_rows = 0
+    # Once TWO pairs are in hand the gate has a conservative median, so
+    # further pairs must also leave room for the soak (r4: the driver run
+    # fit 3 pairs exactly and then skipped the soak — the one artifact the
+    # r4 VERDICT asked for; 2 pairs + soak beats 3 pairs + no soak).
+    soak_reserve = 180.0 if RUN_SOAK else 0.0
     for i in range(pairs):
         if small_t:
             est = (small_t[-1] + big_t[-1]) * 1.15 + 60  # + JVM/warmup tax
+            if len(effs) >= 2:
+                est += soak_reserve
             if est > _left():
                 _emit("pin_budget_stop", {"pairs_done": len(effs),
                                           "est_next_s": round(est, 1),
@@ -371,7 +378,9 @@ def _pinned_scaling(n_pin: int, pairs: int) -> dict:
         # which conditions re-measurement on the metric under test and
         # biases the published median toward the gate (r4 ADVICE); the
         # symmetric min-of-2 is bias-free. Raw values are published.
-        if (eff < 0.80 or eff > 1.10) and (ts + tb) * 1.15 + 60 < _left():
+        if (eff < 0.80 or eff > 1.10) and (
+            (ts + tb) * 1.15 + 60 + (soak_reserve if len(effs) >= 2 else 0.0)
+        ) < _left():
             _, ts2 = _wave_subprocess(2, n_pin, pin=2, repeats=1)
             _, tb2 = _wave_subprocess(8, n_pin, pin=8, repeats=1)
             raw = {"t2_raw_s": [round(ts, 1), round(ts2, 1)],
