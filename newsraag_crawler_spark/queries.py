@@ -2372,7 +2372,11 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     train = raw.select("vec_id", quantize_vec("embedding").alias("qvec"))
-    cents = kmeans_centroids(train, k=16, iters=2, dim=64).select(
+    # checkpoint=True: one-shot query-layer call — ivf_topk broadcasts the
+    # codebook into BOTH its corpus-assignment and query-routing joins, and
+    # lazily each broadcast re-runs the whole Lloyd chain (steady 5.8 s →
+    # 4.4 s at sf0.1 with the k-row materialization)
+    cents = kmeans_centroids(train, k=16, iters=2, dim=64, checkpoint=True).select(
         F.col("cid").alias("cell"),
         F.transform("svec", lambda s: s.cast("double")).alias("cvec"),
     )
@@ -2430,7 +2434,9 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", quantize_vec("embedding").alias("qvec")
     )
-    return kmeans_assign(emb, "vec_id", "qvec", k=4, iters=2, dim=64)
+    # checkpoint=True: one-shot query-layer call (same opt-in rule as
+    # dedup_ngram_jaccard) — materializes each iteration's k-row centroids
+    return kmeans_assign(emb, "vec_id", "qvec", k=4, iters=2, dim=64, checkpoint=True)
 
 
 def _sql_kmeans_ctes(k: int) -> str:
