@@ -94,3 +94,20 @@ def test_centroids_match_final_assignment_sums(spark):
         dim = len(svec)
         expect = [sum(pts[m][i] for m in members) for i in range(dim)]
         assert svec == expect
+
+
+def test_checkpoint_opt_in_is_result_invariant(spark):
+    """checkpoint=True is a pure materialization hint (per-iteration k-row
+    localCheckpoints): assignments AND trained centroids must be
+    bit-identical to the fully-lazy plan."""
+    from newsraag_crawler_spark.operators.clustering import kmeans_centroids
+
+    emb = _emb(spark)
+    lazy = kmeans_assign(emb, "vec_id", "qvec", k=4, iters=2, dim=64)
+    ckpt = kmeans_assign(emb, "vec_id", "qvec", k=4, iters=2, dim=64, checkpoint=True)
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, ckpt.collect()))
+    c_lazy = kmeans_centroids(emb, "vec_id", "qvec", k=4, iters=2, dim=64)
+    c_ckpt = kmeans_centroids(
+        emb, "vec_id", "qvec", k=4, iters=2, dim=64, checkpoint=True
+    )
+    assert sorted(map(tuple, c_lazy.collect())) == sorted(map(tuple, c_ckpt.collect()))
