@@ -365,9 +365,18 @@ def run_crawl(
         )
         # write-then-count: the committed parquet footers give the row count,
         # so the fetch UDF (the costliest stage) executes exactly once
-        corpus_t.append(out["corpus"], lineage={"wave": wave}, count_rows=True)
+        # stats_cols → per-file manifests (north rule: per-partition lineage
+        # = partition id + offset/key bounds): corpus files record id
+        # bounds, seen files record their SURT-key range (each seen file is
+        # a key shard; its bounds are what a membership probe prunes on)
+        corpus_t.append(
+            out["corpus"], lineage={"wave": wave}, count_rows=True,
+            stats_cols=("image_id",),
+        )
         n_fetched = int((corpus_t.current_lineage() or {}).get("rows", 0))
-        seen_t.append(out["seen_additions"], lineage={"wave": wave})
+        seen_t.append(
+            out["seen_additions"], lineage={"wave": wave}, stats_cols=("key",)
+        )
         # spill ages: carried_offset = wave_offset - 1 (see priority_frontier)
         next_frontier = out["spill"].select(
             "url", "source_id", "feed_rank", "score", "attempt",
@@ -403,10 +412,13 @@ def run_crawl(
                 F.lit(wave + 1).alias("wave"),
             )
             next_frontier = next_frontier.unionByName(fresh)
+        # frontier files record score + carried politeness offset bounds —
+        # the "frontier offset" half of the per-partition lineage contract
         frontier_t.overwrite(
             next_frontier,
             lineage={"next_wave": wave + 1, "prev_fetched": n_fetched},
             count_rows=True,
+            stats_cols=("score", "carried_offset"),
         )
         if health_t is not None:
             health_t.append(

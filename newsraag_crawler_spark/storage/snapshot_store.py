@@ -9,9 +9,16 @@ an atomically-replaced JSON manifest:
       snap-00001/part-*.parquet     <- data files added by snapshot 1
       snap-00002/...
 
-- A snapshot = the list of data directories visible at that version plus a
+- A snapshot = the list of data directories visible at that version, a
   ``lineage`` dict (wave number, row counts, seen-shard parameters, anything
-  the caller records). Readers read ONLY directories listed in the current
+  the caller records), AND a per-FILE manifest — ``{file, partition_id,
+  rows, stats: {col: [min, max]}}`` read from the parquet footers of the
+  files just written (partition id is the writing task's index; bounds
+  cover caller-named columns). That file manifest IS the north rule's
+  per-partition lineage (partition id, frontier offset, seen-key shard
+  bounds) and drives metadata-only pruning: ``current_files()``,
+  ``prune_files()``, ``read_pruned()``. Readers read ONLY directories
+  listed in the current
   manifest entry — a crashed half-written snapshot directory is invisible,
   so commits are atomic (write dirs → fsync manifest.tmp → os.replace).
 - ``append`` adds files; ``overwrite`` starts a new file list (used by the
@@ -49,9 +56,60 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Spark part files carry the writing task's partition index: part-00007-...
+_PART_FILE_RE = re.compile(r"^part-(\d+)-")
+
+
+def _json_safe(v):
+    return v if isinstance(v, (int, float, bool, str)) or v is None else (
+        v.decode("utf-8", "replace") if isinstance(v, bytes) else str(v)
+    )
+
+
+def _file_entries(snap_abs: str, rel_dir: str, stats_cols: tuple) -> list[dict]:
+    """Iceberg-style per-file manifest from parquet FOOTERS (no data scan):
+    partition id (the writing task's index, parsed from the part filename),
+    exact row count, and min/max bounds for ``stats_cols`` — the same
+    file-level metadata Iceberg keeps in its manifests, which is what makes
+    resume/pruning metadata-only operations at 100 TB."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for fn in sorted(os.listdir(snap_abs)):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(snap_abs, fn)).metadata
+        m = _PART_FILE_RE.match(fn)
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ent = {
+            "file": f"{rel_dir}/{fn}",
+            "partition_id": int(m.group(1)) if m else None,
+            "rows": md.num_rows,
+        }
+        stats = {}
+        for c in stats_cols:
+            if c not in names:
+                continue
+            j = names.index(c)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(j).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                stats[c] = [_json_safe(min(mins)), _json_safe(max(maxs))]
+        if stats:
+            ent["stats"] = stats
+        out.append(ent)
+    return out
 
 
 class SnapshotTable:
@@ -98,44 +156,101 @@ class SnapshotTable:
         base_dirs: list[str],
         lineage: dict,
         count_rows: bool = False,
+        stats_cols: tuple = (),
+        base_files: list[dict] | None = None,
     ) -> int:
         m = self._load()
         sid = m["current"] + 1
         dirs = list(base_dirs)
+        files = list(base_files or [])
         if df is not None:
-            snap_dir = os.path.join(self.path, f"snap-{sid:05d}")
+            rel = f"snap-{sid:05d}"
+            snap_dir = os.path.join(self.path, rel)
             df.write.mode("overwrite").parquet(snap_dir)
+            # per-file (= per writing partition) lineage from the footers of
+            # the files just written — partition id, exact rows, column
+            # bounds — recorded WITHOUT re-executing the (possibly
+            # expensive) plan that produced df and without scanning data
+            files += _file_entries(snap_dir, rel, stats_cols)
             if count_rows:
-                # metadata-only count from parquet footers of the files just
-                # written — records rows in lineage WITHOUT re-executing the
-                # (possibly expensive) plan that produced df
                 lineage = {
                     **lineage,
-                    "rows": int(self.spark.read.parquet(snap_dir).count()),
+                    "rows": sum(e["rows"] for e in files if e["file"].startswith(rel)),
                 }
-            dirs.append(f"snap-{sid:05d}")
-        m["snapshots"].append({"id": sid, "dirs": dirs, "lineage": lineage})
+            dirs.append(rel)
+        m["snapshots"].append(
+            {"id": sid, "dirs": dirs, "files": files, "lineage": lineage}
+        )
         m["current"] = sid
         self._commit(m)
         return sid
 
     def append(
-        self, df: DataFrame, lineage: dict | None = None, count_rows: bool = False
+        self,
+        df: DataFrame,
+        lineage: dict | None = None,
+        count_rows: bool = False,
+        stats_cols: tuple = (),
     ) -> int:
         """Append df as a new snapshot (prior data remains visible).
 
-        count_rows=True records the written row count in lineage["rows"],
-        counted from the committed files (one plan execution total)."""
+        count_rows=True records the NEWLY written row count in
+        lineage["rows"], summed from the committed files' parquet footers
+        (one plan execution total). stats_cols names columns whose per-file
+        min/max bounds are recorded in the file manifest (see
+        current_files/prune_files)."""
         m = self._load()
         cur = next((s for s in m["snapshots"] if s["id"] == m["current"]), None)
         base = cur["dirs"] if cur else []
-        return self._write_snapshot(df, base, lineage or {}, count_rows)
+        base_files = (cur or {}).get("files", [])
+        return self._write_snapshot(
+            df, base, lineage or {}, count_rows, stats_cols, base_files
+        )
 
     def overwrite(
-        self, df: DataFrame, lineage: dict | None = None, count_rows: bool = False
+        self,
+        df: DataFrame,
+        lineage: dict | None = None,
+        count_rows: bool = False,
+        stats_cols: tuple = (),
     ) -> int:
         """Replace table contents (compaction / rewrite)."""
-        return self._write_snapshot(df, [], lineage or {}, count_rows)
+        return self._write_snapshot(df, [], lineage or {}, count_rows, stats_cols)
+
+    def current_files(self) -> list[dict]:
+        """Per-file lineage of the current snapshot: [{file, partition_id,
+        rows, stats: {col: [min, max]}}] — the north rule's per-partition
+        lineage (partition id, offset/key bounds) as Iceberg file manifests.
+        Pre-manifest snapshots (older tables) return []."""
+        m = self._load()
+        s = next((x for x in m["snapshots"] if x["id"] == m["current"]), None)
+        return list((s or {}).get("files", []))
+
+    def prune_files(self, col: str, lo=None, hi=None) -> list[str]:
+        """Metadata-only file pruning: paths of current-snapshot files whose
+        recorded [min, max] bounds for ``col`` intersect [lo, hi] (files
+        without bounds for ``col`` are conservatively KEPT). With real
+        Iceberg this is the manifest-level partition/file pruning a
+        predicate pushdown triggers."""
+        keep = []
+        for e in self.current_files():
+            b = (e.get("stats") or {}).get(col)
+            if b is not None:
+                if lo is not None and b[1] < lo:
+                    continue
+                if hi is not None and b[0] > hi:
+                    continue
+            keep.append(os.path.join(self.path, e["file"]))
+        return keep
+
+    def read_pruned(self, col: str, lo=None, hi=None) -> DataFrame:
+        """read() restricted to files whose footer bounds intersect
+        [lo, hi]. Rows still need the exact filter applied by the caller —
+        pruning is file-granular, exactly like Iceberg scan planning."""
+        paths = self.prune_files(col, lo, hi)
+        if not paths:
+            return self.read().limit(0)
+        return self.spark.read.parquet(*paths)
 
     def delete_where(self, condition, lineage: dict | None = None) -> int:
         """Retention delete (reference K3): rewrite rows NOT matching the

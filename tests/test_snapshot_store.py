@@ -104,3 +104,49 @@ def test_rollback_drops_orphaned_snapshot_entries(spark, tmp_path):
     m = json.load(open(os.path.join(t.path, "manifest.json")))
     ids = [s["id"] for s in m["snapshots"]]
     assert len(ids) == len(set(ids))
+
+
+def test_per_file_manifest_partition_rows_and_bounds(spark, tmp_path):
+    """North-rule per-partition lineage: each committed file records the
+    writing partition's id, exact row count, and min/max bounds for the
+    caller-named columns — all from parquet footers, no data scan."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = (
+        spark.range(0, 1000, 1, 8)
+        .select(
+            F.col("id"),
+            (F.col("id") % 100).alias("offset"),
+            F.concat(F.lit("k"), F.format_string("%04d", F.col("id"))).alias("key"),
+        )
+        # range-partition by id so per-file id bounds are disjoint
+        .repartitionByRange(8, "id")
+    )
+    t.append(df, lineage={"wave": 0}, count_rows=True, stats_cols=("id", "key"))
+    files = t.current_files()
+    assert len(files) == 8
+    assert sum(e["rows"] for e in files) == 1000
+    assert (t.current_lineage() or {})["rows"] == 1000
+    assert sorted(e["partition_id"] for e in files) == list(range(8))
+    for e in files:
+        lo, hi = e["stats"]["id"]
+        assert 0 <= lo <= hi <= 999
+        klo, khi = e["stats"]["key"]
+        assert klo == f"k{lo:04d}" and khi == f"k{hi:04d}"
+
+
+def test_prune_files_skips_and_read_pruned_is_exact(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 1000, 1, 8).repartitionByRange(8, "id")
+    t.append(df, stats_cols=("id",))
+    # a narrow id range must prune most of the 8 range-partitioned files
+    pruned = t.prune_files("id", lo=10, hi=20)
+    assert 1 <= len(pruned) < 8
+    got = sorted(
+        r["id"]
+        for r in t.read_pruned("id", 10, 20).filter(F.col("id").between(10, 20)).collect()
+    )
+    assert got == list(range(10, 21))
+    # appends ACCUMULATE file entries (manifest mirrors visible data)
+    t.append(spark.range(1000, 1100, 1, 2).repartitionByRange(2, "id"), stats_cols=("id",))
+    assert len(t.current_files()) == 10
+    assert t.read_pruned("id", 1050, None).filter(F.col("id") >= 1050).count() == 50
