@@ -53,12 +53,34 @@ BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1620"))
 _T_START = time.time()
 
 
+def _cpu_probe_ms() -> float:
+    """Fixed-work CPU probe: wall time of a constant numpy matmul loop.
+    External tenants on a shared box do NOT show in this cgroup's loadavg
+    but DO show here (the same code measured 2.6x apart across windows in
+    r5 — BENCH/NOTES.md), so every partial carries the probe, letting a
+    reader normalize absolute throughputs across box-state windows. The
+    pair-ratio scaling protocol needs no such correction; this is for
+    interpreting the unpinned headline/per-query numbers."""
+    import numpy as np
+
+    a = np.arange(512 * 512, dtype=np.float64).reshape(512, 512) / 1e6
+    t0 = time.perf_counter()
+    for _ in range(4):
+        (a @ a).sum()
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def _emit(kind: str, payload: dict) -> None:
     """Flushed partial-result line: a driver timeout still leaves every
     completed measurement parsable in its captured tail."""
     print(
         json.dumps(
-            {"partial": kind, "at_s": round(time.time() - _T_START, 1), **payload}
+            {
+                "partial": kind,
+                "at_s": round(time.time() - _T_START, 1),
+                "cpu_probe_ms": _cpu_probe_ms(),
+                **payload,
+            }
         ),
         flush=True,
     )
