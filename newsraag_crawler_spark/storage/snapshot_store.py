@@ -231,9 +231,18 @@ class SnapshotTable:
         recorded [min, max] bounds for ``col`` intersect [lo, hi] (files
         without bounds for ``col`` are conservatively KEPT). With real
         Iceberg this is the manifest-level partition/file pruning a
-        predicate pushdown triggers."""
+        predicate pushdown triggers.
+
+        Pruning must never DROP data it has no metadata for: a visible dir
+        with no file entries (a snapshot committed before per-file
+        manifests existed) is returned whole, unpruned."""
+        m = self._load()
+        snap = next((s for s in m["snapshots"] if s["id"] == m["current"]), None)
+        if snap is None:
+            return []
+        files = snap.get("files", [])
         keep = []
-        for e in self.current_files():
+        for e in files:
             b = (e.get("stats") or {}).get(col)
             if b is not None:
                 if lo is not None and b[1] < lo:
@@ -241,6 +250,10 @@ class SnapshotTable:
                 if hi is not None and b[0] > hi:
                     continue
             keep.append(os.path.join(self.path, e["file"]))
+        covered = {e["file"].split("/", 1)[0] for e in files}
+        keep += [
+            os.path.join(self.path, d) for d in snap["dirs"] if d not in covered
+        ]
         return keep
 
     def read_pruned(self, col: str, lo=None, hi=None) -> DataFrame:

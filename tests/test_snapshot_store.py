@@ -150,3 +150,29 @@ def test_prune_files_skips_and_read_pruned_is_exact(spark, tmp_path):
     t.append(spark.range(1000, 1100, 1, 2).repartitionByRange(2, "id"), stats_cols=("id",))
     assert len(t.current_files()) == 10
     assert t.read_pruned("id", 1050, None).filter(F.col("id") >= 1050).count() == 50
+
+
+def test_prune_never_drops_pre_manifest_dirs(spark, tmp_path):
+    """A snapshot committed before per-file manifests existed has dirs but
+    no file entries — pruning must return those dirs WHOLE, never silently
+    drop their rows."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 100, 1, 2), stats_cols=("id",))
+    # simulate the legacy snapshot: strip its file entries from the manifest
+    m = json.load(open(t._manifest_path))
+    for s in m["snapshots"]:
+        s.pop("files", None)
+    t._commit(m)
+    # new-era append on top of the legacy base
+    t.append(spark.range(100, 200, 1, 2), stats_cols=("id",))
+    # a range entirely inside the NEW files must still include the legacy
+    # dir (conservative), so no row goes missing
+    assert t.read_pruned("id", 150, 160).count() >= 100 + 11
+    assert (
+        t.read_pruned("id", 150, 160).filter(F.col("id").between(150, 160)).count()
+        == 11
+    )
+    # and a range inside the LEGACY data survives pruning of the new files
+    assert (
+        t.read_pruned("id", 10, 20).filter(F.col("id").between(10, 20)).count() == 11
+    )
