@@ -584,7 +584,13 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.word_count("text").alias("n_words"),
         T.token_count("text").alias("n_tokens"),
-        F.round(T.quality_score("text"), 4).alias("quality"),
+        # floor-decimation, NOT round(…, 4): the four-term score is computed
+        # by the identical IEEE op sequence in both engines (same double),
+        # but round(double, n) itself disagrees at .5 boundaries (Spark
+        # rounds the exact binary value via BigDecimal, DuckDB scales then
+        # rounds — flipped 1 row at sf0.1). floor of the agreed product is
+        # exact, so this is boundary-free.
+        (F.floor(T.quality_score("text") * 10000) / 10000).alias("quality"),
         T.lang_id("text").alias("lang_pred"),
         T.doc_fingerprint("text").alias("fingerprint"),
     )
@@ -595,7 +601,7 @@ def _sql_text_quality() -> str:
 SELECT doc_id,
        {T.word_count_sql('text')} AS n_words,
        {T.token_count_sql('text')} AS n_tokens,
-       round({T.quality_score_sql('text')}, 4) AS quality,
+       floor(({T.quality_score_sql('text')}) * 10000) / 10000 AS quality,
        {T.lang_id_sql('text')} AS lang_pred,
        {T.doc_fingerprint_sql('text')} AS fingerprint
 FROM documents
@@ -1062,29 +1068,51 @@ FROM d GROUP BY bucket
 
 def q_trend_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: frame-spec trend — avg(last 5) vs avg(prev 5) growth per series
-    (reference memory_optimizer.py:97-122), decimal-exact then rounded."""
+    (reference memory_optimizer.py:97-122).
+
+    Cross-engine-exact construction (the kmeans trick, operators/
+    clustering.py): the r4 decimal-avg + round(…, 6) version hash-matched
+    at sf0.01 but flipped 2 rows at sf0.1 — decimal division result
+    scale/rounding is engine-specific, and round(double, n) itself
+    disagrees between Spark (BigDecimal of the exact binary value) and
+    DuckDB (scale-then-round) for boundary doubles. Instead: quantize
+    value once with floor(v·10^10) (one agreed IEEE multiply, exact
+    floor), window-SUM the integers (order-free), and emit each output as
+    ONE IEEE division of two integer-agreed operands — products stay
+    < 2^53 at this value range (≤ 561·10^10·5·5), so the int→double
+    conversions are exact and the quotient is bit-identical in any
+    engine. No rounding anywhere."""
     from pyspark.sql import Window
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    dec = F.col("value").cast("decimal(28,10)")
+    vi = F.floor(F.col("value") * F.lit(1e10)).cast("long")
     w = Window.partitionBy("event_type").orderBy("event_id")
-    recent = F.avg(dec).over(w.rowsBetween(-4, 0))
-    prev = F.avg(dec).over(w.rowsBetween(-9, -5))
+    w5, wp = w.rowsBetween(-4, 0), w.rowsBetween(-9, -5)
+    rs, rc = F.sum(vi).over(w5), F.count(F.lit(1)).over(w5)
+    ps, pc = F.sum(vi).over(wp), F.count(F.lit(1)).over(wp)
+    recent_avg = rs.cast("double") / (rc.cast("double") * F.lit(1e10))
+    growth = (
+        F.when(pc == 0, F.lit(1.0))
+        .when(ps == 0, F.lit(None).cast("double"))
+        .otherwise((rs * pc).cast("double") / (ps * rc).cast("double"))
+    )
     return ev.select(
         "event_type",
         "event_id",
-        F.round(recent, 6).cast("double").alias("recent_avg"),
-        F.round(recent / F.coalesce(prev, recent), 6).cast("double").alias("growth_ratio"),
+        recent_avg.alias("recent_avg"),
+        growth.alias("growth_ratio"),
     )
 
 
 _SQL_TREND = """
 SELECT event_type, event_id,
-  round(avg(CAST(value AS DECIMAL(28,10))) OVER w5, 6)::DOUBLE AS recent_avg,
-  round(avg(CAST(value AS DECIMAL(28,10))) OVER w5
-        / COALESCE(avg(CAST(value AS DECIMAL(28,10))) OVER wp,
-                   avg(CAST(value AS DECIMAL(28,10))) OVER w5), 6)::DOUBLE AS growth_ratio
-FROM events
+  (sum(vi) OVER w5)::DOUBLE / ((count(*) OVER w5)::DOUBLE * 1e10) AS recent_avg,
+  CASE WHEN count(*) OVER wp = 0 THEN 1.0
+       WHEN sum(vi) OVER wp = 0 THEN NULL
+       ELSE ((sum(vi) OVER w5) * (count(*) OVER wp))::DOUBLE
+            / ((sum(vi) OVER wp) * (count(*) OVER w5))::DOUBLE
+  END AS growth_ratio
+FROM (SELECT event_type, event_id, floor(value * 1e10)::BIGINT AS vi FROM events)
 WINDOW w5 AS (PARTITION BY event_type ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
        wp AS (PARTITION BY event_type ORDER BY event_id ROWS BETWEEN 9 PRECEDING AND 5 PRECEDING)
 """
