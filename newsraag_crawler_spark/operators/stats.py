@@ -197,11 +197,42 @@ def monthly_rollup(df: DataFrame, ts_col: str, value_col: str, keys: list[str]) 
     )
 
 
-def trend_window(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
-    """A8 memory-trend frames: avg(last 5) vs avg(prev 5) growth ratio."""
-    w = Window.orderBy(order_col)
-    recent = F.avg(value_col).over(w.rowsBetween(-4, 0))
-    prev = F.avg(value_col).over(w.rowsBetween(-9, -5))
-    return df.withColumn("recent_avg", recent).withColumn(
-        "growth_ratio", recent / F.coalesce(prev, recent)
+def trend_window(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    partition_col: str | None = None,
+    qscale: float = 1e10,
+) -> DataFrame:
+    """A8 memory-trend frames: avg(last 5) vs avg(prev 5) growth ratio
+    (reference memory_optimizer.py:97-122).
+
+    Cross-engine-exact construction (r5; see operators/clustering.py for
+    the pattern): values are quantized once with floor(v·qscale) — one
+    agreed IEEE multiply, exact floor — window sums run in int64 (order-
+    free), and each output is ONE IEEE division of integer-agreed operands,
+    so the result is bit-identical in any engine. The r4 float/decimal
+    version flipped round-boundary rows between Spark and DuckDB at sf0.1.
+    Caller must size qscale so |v|·qscale·5 stays within int64 (and within
+    2^53 for exact int→double products — ample for metric-series values).
+
+    Adds: recent_avg, growth_ratio (1.0 while the prev window is empty,
+    NULL if the prev window sums to exactly zero)."""
+    vi = F.floor(F.col(value_col) * F.lit(qscale)).cast("long")
+    w = (
+        Window.partitionBy(partition_col).orderBy(order_col)
+        if partition_col is not None
+        else Window.orderBy(order_col)
+    )
+    w5, wp = w.rowsBetween(-4, 0), w.rowsBetween(-9, -5)
+    rs, rc = F.sum(vi).over(w5), F.count(F.lit(1)).over(w5)
+    ps, pc = F.sum(vi).over(wp), F.count(F.lit(1)).over(wp)
+    recent_avg = rs.cast("double") / (rc.cast("double") * F.lit(qscale))
+    growth = (
+        F.when(pc == 0, F.lit(1.0))
+        .when(ps == 0, F.lit(None).cast("double"))
+        .otherwise((rs * pc).cast("double") / (ps * rc).cast("double"))
+    )
+    return df.withColumn("recent_avg", recent_avg).withColumn(
+        "growth_ratio", growth
     )

@@ -1082,26 +1082,12 @@ def q_trend_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 2^53 at this value range (≤ 561·10^10·5·5), so the int→double
     conversions are exact and the quotient is bit-identical in any
     engine. No rounding anywhere."""
-    from pyspark.sql import Window
+    from .operators.stats import trend_window
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    vi = F.floor(F.col("value") * F.lit(1e10)).cast("long")
-    w = Window.partitionBy("event_type").orderBy("event_id")
-    w5, wp = w.rowsBetween(-4, 0), w.rowsBetween(-9, -5)
-    rs, rc = F.sum(vi).over(w5), F.count(F.lit(1)).over(w5)
-    ps, pc = F.sum(vi).over(wp), F.count(F.lit(1)).over(wp)
-    recent_avg = rs.cast("double") / (rc.cast("double") * F.lit(1e10))
-    growth = (
-        F.when(pc == 0, F.lit(1.0))
-        .when(ps == 0, F.lit(None).cast("double"))
-        .otherwise((rs * pc).cast("double") / (ps * rc).cast("double"))
-    )
-    return ev.select(
-        "event_type",
-        "event_id",
-        recent_avg.alias("recent_avg"),
-        growth.alias("growth_ratio"),
-    )
+    return trend_window(
+        ev, "event_id", "value", partition_col="event_type"
+    ).select("event_type", "event_id", "recent_avg", "growth_ratio")
 
 
 _SQL_TREND = """
