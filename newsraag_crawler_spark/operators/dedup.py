@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType,
+    ArrayType,
     BooleanType,
     IntegerType,
     LongType,
@@ -66,9 +66,19 @@ _BLOOM_SCHEMA = StructType(
         StructField("shard_id", IntegerType()),
         StructField("n_bits", LongType()),
         StructField("n_keys", LongType()),
-        StructField("bits", BinaryType()),
+        # bitset as little-endian 64-bit words: bit pos ↔ word pos//64,
+        # bit pos%64 — an array<long> (not binary) so the JVM probe path can
+        # test bits with element_at + getbit, zero Python
+        StructField("words", ArrayType(LongType())),
     ]
 )
+
+# JVM broadcast-probe cutoff: total bitset bytes (n_shards × n_bits/8) at or
+# under this probe via a broadcast join + per-row getbit — zero Python, zero
+# shuffle of the probe side. Bigger filters (e.g. 10^10-key seen sets at
+# ~10 bits/key ≈ 12.5 GB) exceed any sane broadcast and fall back to the
+# cogroup path, which ships each shard's bitset only to its own partition.
+_JVM_PROBE_MAX_BYTES = 256 << 20
 
 
 def bloom_params(n_keys_per_shard: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -106,7 +116,7 @@ def build_bloom_shards(
 ) -> DataFrame:
     """Build per-shard Bloom bitsets from a key column.
 
-    Returns (shard_id, n_bits, n_keys, bits). Shard routing is
+    Returns (shard_id, n_bits, n_keys, words). Shard routing is
     murmur3(key) % n_shards — the same expression probes use. Building is a
     single groupBy-applyInPandas over (shard_id); the bitset never exceeds
     n_bits/8 bytes per shard.
@@ -122,16 +132,16 @@ def build_bloom_shards(
     )
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        bits = np.zeros(nb // 8, dtype=np.uint8)
-        pos = np.concatenate(pdf["pos"].values).astype(np.int64)
-        np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        words = np.zeros(max(nb // 64, 1), dtype=np.uint64)
+        pos = np.concatenate(pdf["pos"].values).astype(np.uint64)
+        np.bitwise_or.at(words, pos // 64, np.uint64(1) << (pos % 64))
         sid = int(pdf["shard_id"].iloc[0])
         return pd.DataFrame(
             {
                 "shard_id": [sid],
                 "n_bits": [nb],
                 "n_keys": [len(pdf)],
-                "bits": [bits.tobytes()],
+                "words": [words.view(np.int64)],
             }
         )
 
@@ -146,23 +156,60 @@ def probe_bloom(
     n_bits: int = 0,
     n_hashes: int = 0,
 ) -> DataFrame:
-    """Add ``maybe_seen: boolean`` via broadcast-joined Bloom shards.
+    """Add ``maybe_seen: boolean`` via the shard bitsets.
 
     n_bits/n_hashes MUST match the build call (callers hold them — see
     storage.snapshot_store lineage, which records them per shard set).
+
+    Two physical strategies, same result:
+    - total bitset ≤ _JVM_PROBE_MAX_BYTES: broadcast-join the word arrays on
+      shard id and test bits with element_at + getbit — pure JVM expressions,
+      no Python boundary, no shuffle of the probe side (the build-side word
+      array is referenced in place by codegen, never copied per row).
+    - larger filters: cogroup per shard, so each bitset crosses the Arrow
+      boundary once per (shard × partition) group instead of being broadcast
+      everywhere; the probe is one vectorized gather per group.
     """
     assert n_bits > 0 and n_hashes > 0, "pass the build-time n_bits/n_hashes"
     nb = n_bits
     nh = n_hashes
 
+    if n_shards * (nb // 8) <= _JVM_PROBE_MAX_BYTES:
+        # UNROLLED bit tests (not forall over the _pos array): higher-order
+        # functions are CodegenFallback — the interpreted lambda measured
+        # 4x slower than the whole-stage-codegen'd static AND chain
+        probed = (
+            df.withColumn(
+                "_shard_id", F.pmod(F.hash(F.col(key)), F.lit(n_shards)).cast("int")
+            )
+            .withColumn("_h1", F.pmod(F.xxhash64(F.col(key), F.lit(1)), F.lit(nb)))
+            .withColumn("_h2", F.pmod(F.xxhash64(F.col(key), F.lit(2)), F.lit(nb)))
+        )
+        dim = F.broadcast(
+            shards.select(F.col("shard_id").alias("_shard_id"), F.col("words"))
+        )
+        hit = None
+        for i in range(nh):
+            pos = F.pmod(F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(nb))
+            t = (
+                F.getbit(
+                    F.element_at(F.col("words"), (pos / 64).cast("int") + 1),
+                    F.pmod(pos, F.lit(64)),
+                )
+                == 1
+            )
+            hit = t if hit is None else hit & t
+        result = probed.join(dim, "_shard_id", "left").withColumn(
+            "maybe_seen",
+            # missing shard row (no keys hashed there) → definitely unseen
+            F.when(F.col("words").isNull(), F.lit(False)).otherwise(hit),
+        )
+        return result.drop("_h1", "_h2", "_shard_id", "words")
+
     probed = df.withColumn(
         "_shard_id", F.pmod(F.hash(F.col(key)), F.lit(n_shards)).cast("int")
     ).withColumn("_pos", _positions(F.col(key), nb, nh))
 
-    # COGROUP, not a row join: the bitset crosses the Arrow boundary once
-    # per (shard × partition) group — a per-row broadcast join would ship
-    # n_bits/8 bytes on EVERY row (25 GB for 50k rows × 4 MB shards).
-    # Inside the group the probe is one vectorized gather over all rows.
     # do NOT .add() on probed.schema — pyspark caches and aliases that object
     out_schema = StructType(
         list(probed.schema.fields) + [StructField("maybe_seen", BooleanType())]
@@ -175,9 +222,9 @@ def probe_bloom(
             left = left.copy()
             left["maybe_seen"] = False  # empty shard → definitely unseen
             return left
-        bits = np.frombuffer(right["bits"].iloc[0], dtype=np.uint8)
-        pos = np.stack(left["_pos"].values).astype(np.int64)  # (n, k)
-        hit = bits[pos // 8] & (1 << (pos % 8).astype(np.uint8))
+        words = np.asarray(right["words"].iloc[0], dtype=np.int64).view(np.uint64)
+        pos = np.stack(left["_pos"].values).astype(np.uint64)  # (n, k)
+        hit = (words[pos // np.uint64(64)] >> (pos % np.uint64(64))) & np.uint64(1)
         left = left.copy()
         left["maybe_seen"] = (hit != 0).all(axis=1)
         return left
@@ -201,24 +248,25 @@ def seen_filter_two_phase(
 ) -> DataFrame:
     """EXACT seen filter with Bloom pre-filter (SURVEY.md §7.3.2).
 
-    Bloom-negative rows are definitely new (no shuffle for them); only
-    Bloom-positive rows (true positives + FPR) are exact-confirmed against
-    the seen table. Output = rows of df definitely not in seen.
+    Bloom-negative rows are definitely new; only Bloom-positive KEYS (true
+    positives + FPR) are exact-confirmed against the seen table. Output =
+    rows of df definitely not in seen.
 
-    The probe result is persisted before the fresh/maybe split: the two
-    union branches would otherwise each re-run the probe (and everything
-    upstream of it) — Spark reuses exchanges, not arbitrary subtrees.
+    Shape (the §8 small-rows/big-rows split): only the key column flows
+    through the probe and the confirm joins — the full-width rows of df are
+    touched exactly once, by the final anti-join, which AQE turns into a
+    broadcast join whenever the confirmed-seen key set (≤ this wave's key
+    count, never the whole seen table) is small. Algebra:
+        fresh ∪ (maybe ⟕̸ seen)  ==  df ⟕̸ (seen ⋉ maybe_keys)
+    because a df row is dropped iff its key is Bloom-positive AND in seen.
     """
-    # eager: the fresh/maybe branches run as CONCURRENT stages under one
-    # action — a lazy persist would let both race to compute the uncached
-    # upstream, doubling the probe work
-    probed = probe_bloom(df, shards, key, n_shards, n_bits, n_hashes).localCheckpoint(
-        eager=True
+    maybe_keys = (
+        probe_bloom(df.select(key), shards, key, n_shards, n_bits, n_hashes)
+        .filter(F.col("maybe_seen"))
+        .select(key)
     )
-    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    candidates = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed_new = candidates.join(seen.select(key), key, "left_anti")
-    return fresh.unionByName(confirmed_new)
+    confirmed_seen = seen.select(key).join(maybe_keys, key, "left_semi")
+    return df.join(confirmed_seen, key, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -231,7 +279,12 @@ _CUCKOO_SCHEMA = StructType(
         StructField("shard_id", IntegerType()),
         StructField("n_buckets", LongType()),
         StructField("n_keys", LongType()),
-        StructField("table", BinaryType()),
+        # one long per bucket: the 4 uint16 fingerprint slots packed
+        # little-endian (slot s = bits 16s..16s+15) — JVM probes test lanes
+        # with static shifts; numpy unpacks with a .view
+        StructField("table", ArrayType(LongType())),
+        # exact spill list: (fp << 32) | b1 per overflowed key
+        StructField("overflow", ArrayType(LongType())),
     ]
 )
 
@@ -313,14 +366,15 @@ def build_cuckoo_shards(
         sel = idx_rem[ok2]
         table[b2s[sel], slot2[ok2]] = fps[sel]
         spilled = idx_rem[~ok2]
-        overflow = np.column_stack((fps[spilled], b1s[spilled])).astype(np.int64)
-        blob = table.tobytes() + overflow.tobytes()
+        overflow = (fps[spilled].astype(np.int64) << 32) | b1s[spilled]
+        words = np.ascontiguousarray(table).view(np.uint64).ravel().view(np.int64)
         return pd.DataFrame(
             {
                 "shard_id": [int(pdf["shard_id"].iloc[0])],
                 "n_buckets": [n_buckets],
                 "n_keys": [len(pdf)],
-                "table": [blob],
+                "table": [words],
+                "overflow": [overflow],
             }
         )
 
@@ -335,7 +389,9 @@ def probe_cuckoo(
     n_buckets: int = 1 << 14,
 ) -> DataFrame:
     """Add ``maybe_seen``: fingerprint present in either candidate bucket
-    (or the exact overflow list). Same cogroup shape as probe_bloom."""
+    (or the exact overflow list). Same two physical strategies as
+    probe_bloom: JVM broadcast join + static-shift lane tests for tables
+    that fit the broadcast budget, cogroup per shard beyond it."""
     fp, b1, b2, shard = _cuckoo_cols(F.col(key), n_buckets, n_shards)
     probed = (
         df.withColumn("_fp", fp)
@@ -343,10 +399,38 @@ def probe_cuckoo(
         .withColumn("_b2", b2)
         .withColumn("_shard_id", shard)
     )
+
+    if n_shards * n_buckets * _CUCKOO_SLOTS * 2 <= _JVM_PROBE_MAX_BYTES:
+        def lane_hit(bucket_col):
+            w = F.element_at(F.col("table"), bucket_col.cast("int") + 1)
+            fpl = F.col("_fp").cast("bigint")
+            return (
+                (F.shiftrightunsigned(w, 0).bitwiseAND(F.lit(0xFFFF)) == fpl)
+                | (F.shiftrightunsigned(w, 16).bitwiseAND(F.lit(0xFFFF)) == fpl)
+                | (F.shiftrightunsigned(w, 32).bitwiseAND(F.lit(0xFFFF)) == fpl)
+                | (F.shiftrightunsigned(w, 48).bitwiseAND(F.lit(0xFFFF)) == fpl)
+            )
+
+        ovf_hit = F.array_contains(
+            F.col("overflow"),
+            F.shiftleft(F.col("_fp").cast("bigint"), 32) + F.col("_b1"),
+        )
+        dim = F.broadcast(
+            shards.select(
+                F.col("shard_id").alias("_shard_id"), F.col("table"), F.col("overflow")
+            )
+        )
+        result = probed.join(dim, "_shard_id", "left").withColumn(
+            "maybe_seen",
+            F.when(F.col("table").isNull(), F.lit(False)).otherwise(
+                lane_hit(F.col("_b1")) | lane_hit(F.col("_b2")) | ovf_hit
+            ),
+        )
+        return result.drop("_fp", "_b1", "_b2", "_shard_id", "table", "overflow")
+
     out_schema = StructType(
         list(probed.schema.fields) + [StructField("maybe_seen", BooleanType())]
     )
-    table_bytes = n_buckets * _CUCKOO_SLOTS * 2
 
     def _probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
@@ -355,12 +439,12 @@ def probe_cuckoo(
         if right.empty:
             left["maybe_seen"] = False
             return left
-        blob = right["table"].iloc[0]
-        table = np.frombuffer(blob[:table_bytes], dtype=np.uint16).reshape(
-            n_buckets, _CUCKOO_SLOTS
+        table = (
+            np.asarray(right["table"].iloc[0], dtype=np.int64)
+            .view(np.uint16)
+            .reshape(n_buckets, _CUCKOO_SLOTS)
         )
-        ovf = np.frombuffer(blob[table_bytes:], dtype=np.int64).reshape(-1, 2)
-        ovf_set = {(int(f), int(b)) for f, b in ovf}
+        ovf_set = {int(v) for v in right["overflow"].iloc[0]}
         fps = left["_fp"].to_numpy()
         b1s = left["_b1"].to_numpy()
         b2s = left["_b2"].to_numpy()
@@ -369,7 +453,7 @@ def probe_cuckoo(
         ).any(axis=1)
         if ovf_set:
             for i in np.where(~hit)[0]:
-                if (int(fps[i]), int(b1s[i])) in ovf_set:
+                if (int(fps[i]) << 32) | int(b1s[i]) in ovf_set:
                     hit[i] = True
         left["maybe_seen"] = hit
         return left

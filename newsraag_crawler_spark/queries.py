@@ -833,18 +833,21 @@ def q_cuckoo_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bloom): cuckoo-negative rows are definitely fresh (no-false-negatives is
     pytest-gated), cuckoo-positive rows are exact-confirmed — the result
     MUST equal the plain exact anti-join, which is the oracle."""
-    from .operators.dedup import anti_join_seen, build_cuckoo_shards, probe_cuckoo
+    from .operators.dedup import build_cuckoo_shards, probe_cuckoo
 
     d = _docs_with_url(spark, sf_dir).withColumn("key", U.surt_url("url"))
     seen = d.filter(F.pmod("doc_id", F.lit(3)) == 0).select("key")
     shards = build_cuckoo_shards(seen, n_shards=16, n_buckets=1 << 12)
-    probed = probe_cuckoo(
-        d, shards, n_shards=16, n_buckets=1 << 12
-    ).localCheckpoint(eager=True)  # both branches run under one action
-    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed = anti_join_seen(maybe, seen, "key")
-    return fresh.unionByName(confirmed).select("doc_id", "key")
+    # same algebra as seen_filter_two_phase: a row is dropped iff its key is
+    # cuckoo-positive AND exact-confirmed in seen — only KEYS flow through
+    # the probe/confirm joins, full rows are touched once by the anti-join
+    maybe_keys = (
+        probe_cuckoo(d.select("key"), shards, n_shards=16, n_buckets=1 << 12)
+        .filter(F.col("maybe_seen"))
+        .select("key")
+    )
+    confirmed_seen = seen.join(maybe_keys, "key", "left_semi")
+    return d.join(confirmed_seen, "key", "left_anti").select("doc_id", "key")
 
 
 def _sql_cuckoo_seen() -> str:

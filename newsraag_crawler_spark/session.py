@@ -45,6 +45,15 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default 10m under-uses modern executor memory: wave-bounded key
+        # sets (confirmed-seen keys, skew censuses) are tens of MB and are
+        # far cheaper broadcast than shuffled against a frontier. Size-
+        # checked by Catalyst/AQE per join, so an over-estimate degrades to
+        # a shuffle, never an OOM. Parameterised for deployments.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # image `bytes` columns: cap rows per Arrow batch so a batch of

@@ -203,3 +203,21 @@ def test_winnowing_short_doc_fallback(spark):
     fps = dedup.winnowing_fingerprints(df, "doc_id", "text", k=3, w=4)
     got = fps.groupBy("doc_id").count().collect()
     assert {r.doc_id: r["count"] for r in got} == {1: 1, 2: 1}
+
+
+def test_probe_paths_agree(spark, monkeypatch):
+    """The JVM broadcast probe and the cogroup fallback are two physical
+    strategies for the same result: force the fallback by zeroing the
+    broadcast budget and compare row-for-row on keys with hits, misses and
+    false-positive candidates."""
+    seen = _keys(spark, 400, "pp")
+    mixed = _keys(spark, 300, "pp").union(_keys(spark, 300, "ppnew"))
+    bshards = dedup.build_bloom_shards(seen, n_shards=NS, n_bits=NB, n_hashes=NH)
+    cshards = dedup.build_cuckoo_shards(seen, n_shards=NS, n_buckets=1 << 10)
+    jvm_b = dedup.probe_bloom(mixed, bshards, n_shards=NS, n_bits=NB, n_hashes=NH)
+    jvm_c = dedup.probe_cuckoo(mixed, cshards, n_shards=NS, n_buckets=1 << 10)
+    monkeypatch.setattr(dedup, "_JVM_PROBE_MAX_BYTES", 0)
+    cg_b = dedup.probe_bloom(mixed, bshards, n_shards=NS, n_bits=NB, n_hashes=NH)
+    cg_c = dedup.probe_cuckoo(mixed, cshards, n_shards=NS, n_buckets=1 << 10)
+    for jvm, cg in ((jvm_b, cg_b), (jvm_c, cg_c)):
+        assert jvm.exceptAll(cg).isEmpty() and cg.exceptAll(jvm).isEmpty()
