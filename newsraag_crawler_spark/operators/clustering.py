@@ -56,7 +56,7 @@ def _dist_num(qvec, svec, n):
     return F.aggregate(term, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
-def kmeans_assign(
+def _kmeans_final(
     emb: DataFrame,
     id_col: str = "vec_id",
     qvec_col: str = "qvec",
@@ -67,7 +67,10 @@ def kmeans_assign(
 ) -> DataFrame:
     """Lloyd's k-means over pre-quantized integer vectors, seeded from the
     k lowest ids, running ``iters`` assignment passes with centroid
-    recomputation between passes. Returns (id_col, cluster).
+    recomputation between passes. Internal: returns the final assignment
+    aggregate (_id, cid, _q) — the quantized vector rides along so
+    kmeans_centroids can recompute sums WITHOUT re-joining the input
+    (kmeans_assign projects it away for its public (id, cluster) contract).
 
     checkpoint=True materializes each iteration's k-row centroid table
     with an eager localCheckpoint — the Lloyd-on-Spark shape (MLlib
@@ -110,21 +113,16 @@ def kmeans_assign(
     )
 
     def assign(c: DataFrame) -> DataFrame:
-        """Map-side argmin: broadcast the k centroids, score the N×k
-        candidates in place, then take min_by(cid, (distance, cid)) as a
-        PARTIAL-combinable aggregation — the shuffle carries ~N combined
-        rows, not the N×k sorted rows a row_number window would (the
-        pre-r5 shape); the (d, cid) struct ordering key is identical to
-        the old window's orderBy, so assignments are bit-for-bit the
-        same. ``_q`` rides along (its k copies per point are identical,
-        so first() is deterministic), sparing update() a re-join.
-
-        Measured tradeoff (sf0.1, local[32], interleaved A/B): ~0.1s
-        slower per call than the window shape at test scale (hash-agg
-        overhead dominates when the exchange is tiny), but the exchange
-        shrinks from N×k sorted rows carrying two 64-long arrays each to
-        ~N map-side-combined rows carrying one — the shape that matters
-        at cluster scale."""
+        """Zero-exchange argmin (the same packed-codebook shape ivf_topk
+        uses for cell assignment): the k centroids are collapsed into ONE
+        row holding array<struct(cid, svec, n)> sorted by cid, broadcast-
+        nested-loop joined (1 row — no shuffle of the points), and each
+        point takes array_min over struct(d, cid) — lexicographic struct
+        ordering, identical to the former min_by(cid, struct(d, cid))
+        aggregation key, so assignments are bit-for-bit the same while the
+        per-iteration N-row groupBy(_id) exchange disappears entirely (the
+        only remaining per-iteration shuffle is update()'s k-key partial
+        aggregation). ``_q`` rides along for update()/kmeans_centroids."""
         n_checked = F.when(
             F.assert_true(
                 F.col("n") <= QSCALE,
@@ -132,18 +130,23 @@ def kmeans_assign(
             ).isNull(),
             F.col("n"),
         ).alias("n")
-        c = c.select("cid", "svec", n_checked)
-        scored = pts.crossJoin(F.broadcast(c)).withColumn(
-            "_dn", _dist_num(F.col("_q"), F.col("svec"), F.col("n"))
+        cent_row = c.select("cid", "svec", n_checked).agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cid"), F.col("svec"), F.col("n")))
+            ).alias("_cents")
         )
-        # one IEEE division of two exactly-agreed integers per candidate:
-        # bit-identical ranking in every engine (see module docstring)
-        scored = scored.withColumn(
-            "_d", F.col("_dn").cast("double") / (F.col("n") * F.col("n")).cast("double")
-        )
-        return scored.groupBy("_id").agg(
-            F.min_by("cid", F.struct(F.col("_d"), F.col("cid"))).alias("cid"),
-            F.first("_q").alias("_q"),
+
+        def score(cc):
+            # one IEEE division of two exactly-agreed integers per
+            # candidate: bit-identical ranking in every engine
+            d = _dist_num(F.col("_q"), cc["svec"], cc["n"]).cast("double") / (
+                cc["n"] * cc["n"]
+            ).cast("double")
+            return F.struct(d.alias("d"), cc["cid"].alias("cid"))
+
+        best = F.array_min(F.transform(F.col("_cents"), score))
+        return pts.crossJoin(F.broadcast(cent_row)).select(
+            "_id", best["cid"].alias("cid"), "_q"
         )
 
     def update(a: DataFrame) -> DataFrame:
@@ -156,7 +159,21 @@ def kmeans_assign(
         cent = update(assign(cent))
         if checkpoint:
             cent = cent.localCheckpoint(eager=True)  # k rows
-    final = assign(cent)
+    return assign(cent)
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    checkpoint: bool = False,
+) -> DataFrame:
+    final = _kmeans_final(
+        emb, id_col, qvec_col, k=k, iters=iters, dim=dim, checkpoint=checkpoint
+    )
     return final.select(F.col("_id").alias(id_col), F.col("cid").alias("cluster"))
 
 
@@ -168,6 +185,7 @@ def kmeans_centroids(
     iters: int = 2,
     dim: int = 64,
     checkpoint: bool = False,
+    checkpoint_iters: bool | None = None,
 ) -> DataFrame:
     """Trained centroids: the integer (sum vector, count) recomputed from
     the FINAL assignment of ``kmeans_assign`` — still never divided, so
@@ -179,19 +197,24 @@ def kmeans_centroids(
     k-row OUTPUT: an IVF consumer broadcasts the codebook into both its
     corpus-assignment and query-routing joins, and lazily each broadcast
     re-runs the entire Lloyd chain (measured 2×; ivf_kmeans_topk steady
-    5.8 s → 4.4 s at sf0.1 with the checkpoint)."""
-    a = kmeans_assign(
-        emb, id_col, qvec_col, k=k, iters=iters, dim=dim, checkpoint=checkpoint
+    5.8 s → 4.4 s at sf0.1 with the checkpoint).
+
+    checkpoint_iters (default: follow ``checkpoint``) controls the PER-
+    ITERATION k-row checkpoints separately: each one is a full Spark
+    action whose Catalyst planning round costs more than it saves at
+    small ``iters`` — a one-shot iters≤2 caller wants the output
+    checkpoint only; deep-iteration callers keep both (plan nesting)."""
+    # the final assignment already carries each point's quantized vector —
+    # all k candidate copies are identical — so the sums are a straight
+    # re-aggregation: no shuffle-join of the assignment back onto the
+    # input table
+    final = _kmeans_final(
+        emb, id_col, qvec_col, k=k, iters=iters, dim=dim,
+        checkpoint=checkpoint if checkpoint_iters is None else checkpoint_iters,
     )
-    pts = emb.select(F.col(id_col).alias("_id"), F.col(qvec_col).alias("_q"))
-    cents = (
-        a.select(F.col(id_col).alias("_id"), F.col("cluster").alias("cid"))
-        .join(pts, "_id")
-        .groupBy("cid")
-        .agg(
-            F.array(*[F.sum(F.col("_q")[i]) for i in range(dim)]).alias("svec"),
-            F.count("*").alias("n"),
-        )
+    cents = final.groupBy("cid").agg(
+        F.array(*[F.sum(F.col("_q")[i]) for i in range(dim)]).alias("svec"),
+        F.count("*").alias("n"),
     )
     if checkpoint:
         cents = cents.localCheckpoint(eager=True)  # k rows

@@ -609,15 +609,20 @@ def ngram_jaccard_pairs(
     # commit the shingle table) and control the release.
     if checkpoint:
         ex = ex.localCheckpoint(eager=True)
+    # set sizes attach AFTER the pair aggregation: |pairs| ≪ |exploded
+    # shingles|, so joining sizes onto the aggregated pairs (two broadcast
+    # joins of a #docs-row dim) beats carrying na/nb on every exploded row
+    # through the self-join exchanges — same jaccard, narrower shuffles
     sizes = ex.groupBy("_id").agg(F.count("*").alias("_n"))
-    ex = ex.join(sizes, "_id")
-    a = ex.select(F.col("_id").alias("id_a"), F.col("_n").alias("na"), "sh")
-    b = ex.select(F.col("_id").alias("id_b"), F.col("_n").alias("nb"), "sh")
+    a = ex.select(F.col("_id").alias("id_a"), "sh")
+    b = ex.select(F.col("_id").alias("id_b"), "sh")
     inter = (
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("nb")), "id_b")
     )
     return inter.select(
         "id_a",
@@ -649,6 +654,13 @@ def winnowing_fingerprints(
     → per-doc ordered window min → distinct. Documents with fewer than w
     k-grams contribute their single overall-min hash (the degenerate
     window). Returns (id_col, fp).
+
+    Single-pass formulation: with cnt = count over the same [pos, pos+w-1]
+    frame as the rolling min, cnt == w ⟺ pos ≤ n−w (a full window), and
+    pos == 0 ∧ cnt < w ⟺ n < w, where the frame covers the whole doc so
+    fp == min(h) — exactly the old short-doc branch. One Window node and
+    one filter replace the former full/short union, whose two branches each
+    re-ran the whole shingle+hash+window subtree (no exchange reuse).
     """
     from ..functions.hashing import portable_hash64
     from ..functions.text import shingles
@@ -657,24 +669,15 @@ def winnowing_fingerprints(
         F.col(id_col).alias("_id"),
         F.posexplode(shingles(F.col(text_col), k)).alias("pos", "g"),
     ).withColumn("h", portable_hash64(F.col("g")))
-    doc_w = Window.partitionBy("_id")
     roll = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
-    r = (
-        ex.withColumn("fp", F.min("h").over(roll))
-        .withColumn("_n", F.count("*").over(doc_w))
+    r = ex.select(
+        F.col("_id"),
+        F.col("pos"),
+        F.min("h").over(roll).alias("fp"),
+        F.count("*").over(roll).alias("_cnt"),
     )
-    full = (
-        r.filter((F.col("_n") >= w) & (F.col("pos") <= F.col("_n") - w))
-        .select(F.col("_id").alias(id_col), "fp")
-        .distinct()
-    )
-    short = (
-        r.filter(F.col("_n") < w)
-        .groupBy("_id")
-        .agg(F.min("h").alias("fp"))
-        .select(F.col("_id").alias(id_col), "fp")
-    )
-    return full.unionByName(short)
+    keep = (F.col("_cnt") == w) | ((F.col("pos") == 0) & (F.col("_cnt") < w))
+    return r.filter(keep).select(F.col("_id").alias(id_col), "fp").distinct()
 
 
 def winnowing_pairs(
@@ -685,6 +688,7 @@ def winnowing_pairs(
     w: int = 4,
     min_shared: int = 2,
     max_df: int | None = None,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs by shared winnowing fingerprints:
     fingerprint equi-join (never all-pairs), count shared per pair,
@@ -692,8 +696,16 @@ def winnowing_pairs(
     whose document frequency exceeds it — the same fan-out bound as
     ngram_jaccard_pairs (a fingerprint shared by d docs costs d² join
     rows). Returns (id_a, id_b, shared).
+
+    checkpoint=True materializes the fingerprint table once (the same
+    opt-in rule as ngram_jaccard_pairs): lazily, the hot-fp census and the
+    two self-join sides each re-run the shingle→md5→window subtree. One-
+    shot callers (the bench query layer) pass True; long-lived callers
+    should commit the fingerprints themselves and control the release.
     """
     fps = winnowing_fingerprints(df, id_col, text_col, k=k, w=w)
+    if checkpoint:
+        fps = fps.localCheckpoint(eager=True)
     if max_df is not None:
         hot = (
             fps.groupBy("fp")

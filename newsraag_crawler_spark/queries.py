@@ -545,9 +545,12 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import winnowing_pairs
 
     d = _cloned_docs_spark(spark, sf_dir)
+    # checkpoint=True: one-shot query-layer call — the fingerprint table
+    # feeds the hot census and both self-join sides (same opt-in rule as
+    # dedup_ngram_jaccard); lazily each consumer re-ran the md5+window tree
     return winnowing_pairs(
         d, "doc_id", "text", k=3, w=_WINNOW_W,
-        min_shared=_WINNOW_MIN_SHARED, max_df=_WINNOW_MAX_DF,
+        min_shared=_WINNOW_MIN_SHARED, max_df=_WINNOW_MAX_DF, checkpoint=True,
     )
 
 
@@ -2388,12 +2391,19 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
 
     raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    train = raw.select("vec_id", quantize_vec("embedding").alias("qvec"))
+    # round-robin split of the single local parquet file (same note as
+    # q_ivf_ann): the Lloyd argmin is map-side, so scan parallelism is the
+    # ONLY parallelism — unsplit, every training job ran as one task
+    train = raw.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", quantize_vec("embedding").alias("qvec")
+    )
     # checkpoint=True: one-shot query-layer call — ivf_topk broadcasts the
     # codebook into BOTH its corpus-assignment and query-routing joins, and
     # lazily each broadcast re-runs the whole Lloyd chain (steady 5.8 s →
     # 4.4 s at sf0.1 with the k-row materialization)
-    cents = kmeans_centroids(train, k=16, iters=2, dim=64, checkpoint=True).select(
+    cents = kmeans_centroids(
+        train, k=16, iters=2, dim=64, checkpoint=True, checkpoint_iters=False,
+    ).select(
         F.col("cid").alias("cell"),
         F.transform("svec", lambda s: s.cast("double")).alias("cvec"),
     )
@@ -2448,8 +2458,12 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exemption is deliberately not used."""
     from .operators.clustering import kmeans_assign, quantize_vec
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", quantize_vec("embedding").alias("qvec")
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # spread the single local file split — the map-side argmin's only
+        # parallelism is scan parallelism (see q_ivf_ann)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", quantize_vec("embedding").alias("qvec"))
     )
     # checkpoint=True: one-shot query-layer call (same opt-in rule as
     # dedup_ngram_jaccard) — materializes each iteration's k-row centroids
