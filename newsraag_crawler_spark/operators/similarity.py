@@ -133,9 +133,15 @@ def srp_bucket_portable(vec_col, dim: int, n_bits: int):
     6dp-rounded dot so a sub-1e-6 cross-engine residue can't flip a bit.
     """
     c = srp_coeffs(dim, n_bits)
+    # ONE nested-array literal instead of n_bits × dim Literal nodes: the
+    # flat form put 512 leaf nodes through every Catalyst pass and analysis
+    # alone cost ~0.5 s per action; element_at of a 2-D literal yields the
+    # identical per-bit coefficient array, so the zip_with/fold op sequence
+    # (and thus every emitted bit) is unchanged
+    coeff_lit = F.lit([[float(c[i][j]) for i in range(dim)] for j in range(n_bits)])
     bucket = F.lit(0)
     for j in range(n_bits):
-        coeffs = F.array(*[F.lit(float(c[i][j])) for i in range(dim)])
+        coeffs = F.element_at(coeff_lit, j + 1)
         dot = F.aggregate(
             F.zip_with(vec_col, coeffs, lambda x, y: x * y),
             F.lit(0.0),

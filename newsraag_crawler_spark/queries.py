@@ -2538,9 +2538,18 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("embedding", 2, _EMB_DIM - 1),
         ).alias("embedding"),
     )
-    corpus = emb.unionByName(clones).withColumn(
-        "bucket", srp_bucket_portable(F.col("embedding"), _EMB_DIM, _SRP_BITS)
+    corpus = (
+        emb.unionByName(clones)
+        # spread the single local parquet split: the bucket fold is map-side,
+        # so scan parallelism is the only parallelism (see q_ivf_ann)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn(
+            "bucket", srp_bucket_portable(F.col("embedding"), _EMB_DIM, _SRP_BITS)
+        )
     )
+    # deliberately NOT checkpointed: with the scan spread, re-running the
+    # bucket fold on the second self-join side costs less than the extra
+    # materialization action (measured A/B at sf0.1)
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(_SRP_BITS)],
