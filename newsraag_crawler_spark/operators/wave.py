@@ -363,6 +363,23 @@ def run_crawl(
             failure_expr=failure_expr, max_attempts=max_attempts,
             unhealthy_hosts=unhealthy,
         )
+        # slim commit frames (seen keys, next frontier) are written with a
+        # data-derived file count (~2M rows ≈ 60-120 MB per key file, guide-
+        # range output sizing) instead of the wave's full task parallelism:
+        # the coalesce collapses 128 near-empty part files per commit — and
+        # their per-commit footer reads plus the ever-growing multi-snapshot
+        # read listing — into a handful. The corpus commit keeps the fetch
+        # partitioning: coalescing it would serialize the codec stage.
+        # unknown frontier size (fresh seeds without a probed count) keeps
+        # the natural partitioning — never serialize a write blindly
+        n_commit_parts = (
+            max(1, min(1024, n_frontier // 2_000_000 + 1))
+            if n_frontier is not None
+            else None
+        )
+
+        def _sized(df_out):
+            return df_out.coalesce(n_commit_parts) if n_commit_parts else df_out
         # write-then-count: the committed parquet footers give the row count,
         # so the fetch UDF (the costliest stage) executes exactly once
         # stats_cols → per-file manifests (north rule: per-partition lineage
@@ -375,7 +392,8 @@ def run_crawl(
         )
         n_fetched = int((corpus_t.current_lineage() or {}).get("rows", 0))
         seen_t.append(
-            out["seen_additions"], lineage={"wave": wave}, stats_cols=("key",)
+            _sized(out["seen_additions"]), lineage={"wave": wave},
+            stats_cols=("key",),
         )
         # spill ages: carried_offset = wave_offset - 1 (see priority_frontier)
         next_frontier = out["spill"].select(
@@ -414,8 +432,13 @@ def run_crawl(
             next_frontier = next_frontier.unionByName(fresh)
         # frontier files record score + carried politeness offset bounds —
         # the "frontier offset" half of the per-partition lineage contract
+        # REBALANCE, not coalesce: next_frontier contains the link-dedup
+        # exchange, and a coalesce would collapse that shuffle's reduce side
+        # to the file count (measured: the whole dedup ran on 1 task); the
+        # AQE rebalance keeps reduce parallelism and sizes output files by
+        # the advisory partition size instead
         frontier_t.overwrite(
-            next_frontier,
+            next_frontier.hint("rebalance"),
             lineage={"next_wave": wave + 1, "prev_fetched": n_fetched},
             count_rows=True,
             stats_cols=("score", "carried_offset"),
@@ -431,10 +454,11 @@ def run_crawl(
             ),
             lineage={"wave": wave},
         )
-        # all consumers of this wave's cached `due` have executed (corpus/
+        # all consumers of this wave's cached frames have executed (corpus/
         # seen/frontier commits) — release the blocks or they accumulate
         # across waves (cached-block growth == the bench.py:229 disease)
         out["_due_cached"].unpersist()
+        out["_frontier_cached"].unpersist()
         frontier = frontier_t.read()
         n_frontier = int((frontier_t.current_lineage() or {}).get("rows", 0))
         wave += 1
@@ -485,12 +509,20 @@ def run_scale_wave(
     for col, default in (("attempt", F.lit(0)), ("carried_offset", F.lit(None).cast("int"))):
         if col not in frontier.columns:
             frontier = frontier.withColumn(col, default)
+    # persist the canonicalized frontier: the surt/host/path regex trees are
+    # referenced by the robots filter, the seen anti-join key, the dedup
+    # repartition key and both window chains — predicate pushdown SUBSTITUTES
+    # the full regex tree into each (measured ~1 ms/row executor time, ~7x
+    # the single-evaluation cost; bench.py's wave avoids the same disease
+    # with an eager checkpoint). The cache materializes each column once;
+    # run_crawl releases the blocks with the wave's other cache handle.
     f = (
         frontier.withColumn("surt_url", surt_url(F.col("url")))
         .withColumn("host", url_host(F.col("url")))
         .withColumn(
             "path", F.regexp_extract(F.col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
         )
+        .persist()
     )
     out: dict[str, DataFrame] = {}
     if unhealthy_hosts is not None:
@@ -520,12 +552,13 @@ def run_scale_wave(
     ranked = priority_frontier(
         allowed.repartition(n_wave_parts, F.col("host")), rank_col="feed_rank"
     )
-    budgeted = budget_waves(ranked, policies)
+    # census, salting, seen_additions, fetch AND the spill commit all consume
+    # branches of `budgeted`; persist it (not just `due`) so the upstream
+    # (canonicalize → robots → seen filter → windows) runs once per wave —
+    # persisting only the due branch left the frontier commit's spill filter
+    # re-executing the whole chain a second time per wave
+    budgeted = budget_waves(ranked, policies).persist()
     due, spill = split_wave(budgeted)
-    # census, salting, seen_additions and fetch all consume `due`; persist
-    # so the upstream (canonicalize → robots → seen filter → windows) runs
-    # once per wave, not once per consumer branch
-    due = due.persist()
     if failure_expr is None:
         due_ok = due
         seen_keys = due.select("surt_url")
@@ -563,8 +596,12 @@ def run_scale_wave(
         "spill": spill,
         "blocked": blocked,
         "host_attempts": host_attempts,
-        # handle for the caller to unpersist once the wave's commits are done
-        "_due_cached": due,
+        "due": due,
+        # handles for the caller to unpersist once the wave's commits are
+        # done (`budgeted` — due AND spill filter from it — and the
+        # canonicalized frontier `f`)
+        "_due_cached": budgeted,
+        "_frontier_cached": f,
     })
     if links_per_page > 0:
         # deterministic synthetic link graph: page /articles/i links to

@@ -208,6 +208,7 @@ def test_retry_carries_progressive_timeout(spark):
     r = out["retry"].select("attempt", "timeout_s").distinct().collect()
     assert [(x.attempt, x.timeout_s) for x in r] == [(1, 60)]
     out["_due_cached"].unpersist()
+    out["_frontier_cached"].unpersist()
 
 
 def test_unhealthy_host_skipped_then_resumes(spark, tmp_path):
@@ -277,12 +278,13 @@ def test_spill_aging_cannot_be_starved(spark):
     out1 = run_scale_wave(
         spill.unionByName(shiny), pol, seen0, wave=1
     )
-    due1 = {r.url for r in out1["_due_cached"].collect()}
+    due1 = {r.url for r in out1["due"].collect()}
     # the 3 fetched are the carried rows that spilled with wave_offset 1
     # (feed_rank 3,4,5 — score order = rank order here), NOT the shiny ones
     assert due1 == {f"https://h.example.com/articles/{i}" for i in (3, 4, 5)}
     for o in (out0, out1):
         o["_due_cached"].unpersist()
+        o["_frontier_cached"].unpersist()
 
 
 def test_resume_refuses_lineage_missing_next_wave(spark, tmp_path):
