@@ -150,8 +150,14 @@ def _kmeans_final(
         )
 
     def update(a: DataFrame) -> DataFrame:
+        # ONE parsed expression for the dim per-dimension sums: the Column
+        # API form (F.array of dim F.sum(F.col(...)[i]) nodes) cost ~250
+        # py4j round trips per iteration on the driver; the parsed tree —
+        # and the k-key partial aggregation it compiles to — is identical
         return a.groupBy("cid").agg(
-            F.array(*[F.sum(F.col("_q")[i]) for i in range(dim)]).alias("svec"),
+            F.expr(
+                "array(" + ", ".join(f"sum(_q[{i}])" for i in range(dim)) + ")"
+            ).alias("svec"),
             F.count("*").alias("n"),
         )
 
@@ -213,7 +219,10 @@ def kmeans_centroids(
         checkpoint=checkpoint if checkpoint_iters is None else checkpoint_iters,
     )
     cents = final.groupBy("cid").agg(
-        F.array(*[F.sum(F.col("_q")[i]) for i in range(dim)]).alias("svec"),
+        # same single-parse array-of-sums as update() (py4j-light)
+        F.expr(
+            "array(" + ", ".join(f"sum(_q[{i}])" for i in range(dim)) + ")"
+        ).alias("svec"),
         F.count("*").alias("n"),
     )
     if checkpoint:

@@ -753,20 +753,26 @@ def simhash_relational(
     hashed = df.select(
         F.col(id_col), F.explode_outer(F.col(token_col)).alias("_tok")
     ).select(F.col(id_col), h.alias("_h"))
+    # the 60 vote sums and the 60-term fingerprint recomposition are built as
+    # SQL text parsed in ONE pass each: the per-node Column API put ~850 py4j
+    # round trips on the driver per query construction (measured 1.2 s of the
+    # 1.9 s steady wall; the parsed trees and their results are identical)
     votes = [
-        F.sum(
-            F.when(F.col("_h").isNull(), F.lit(0)).otherwise(
-                F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1
-            )
+        F.expr(
+            f"sum(CASE WHEN _h IS NULL THEN 0 "
+            f"ELSE (shiftrightunsigned(_h, {i}) & 1) * 2 - 1 END)"
         ).alias(f"_v{i}")
         for i in range(SIMHASH_BITS)
     ]
     agg = hashed.groupBy(id_col).agg(*votes)
-    fp = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        fp = fp + F.when(F.col(f"_v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    fp = F.expr(
+        "CAST(0 AS BIGINT) + "
+        + " + ".join(
+            f"(CASE WHEN _v{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for i in range(SIMHASH_BITS)
         )
+    )
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 

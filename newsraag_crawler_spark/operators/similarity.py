@@ -135,19 +135,28 @@ def srp_bucket_portable(vec_col, dim: int, n_bits: int):
     c = srp_coeffs(dim, n_bits)
     # ONE nested-array literal instead of n_bits × dim Literal nodes: the
     # flat form put 512 leaf nodes through every Catalyst pass and analysis
-    # alone cost ~0.5 s per action; element_at of a 2-D literal yields the
+    # alone cost ~0.5 s per action; indexing the 2-D literal yields the
     # identical per-bit coefficient array, so the zip_with/fold op sequence
     # (and thus every emitted bit) is unchanged
     coeff_lit = F.lit([[float(c[i][j]) for i in range(dim)] for j in range(n_bits)])
-    bucket = F.lit(0)
-    for j in range(n_bits):
-        coeffs = F.element_at(coeff_lit, j + 1)
-        dot = F.aggregate(
+    # the per-bit weights are a second small literal and the bucket becomes
+    # ONE transform/zip_with/aggregate chain instead of an n_bits-step Python
+    # loop of Column ops — ~100 py4j round trips per bucket construction
+    # gone, while each dot keeps the exact left-fold IEEE op sequence and
+    # each bit keeps its weight (dots[j] pairs with 1<<j by position)
+    weights = F.lit([1 << j for j in range(n_bits)])
+    dots = F.transform(
+        coeff_lit,
+        lambda coeffs: F.aggregate(
             F.zip_with(vec_col, coeffs, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(F.round(dot, 6) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        ),
+    )
+    bits = F.zip_with(
+        dots, weights, lambda d, w: F.when(F.round(d, 6) > 0, w).otherwise(F.lit(0))
+    )
+    bucket = F.aggregate(bits, F.lit(0), lambda acc, b: acc + b)
     return bucket.cast("int")
 
 

@@ -582,7 +582,12 @@ GROUP BY 1, 2 HAVING count(*) >= {_WINNOW_MIN_SHARED}
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    # round-robin split of the single local parquet file (same note as
+    # q_ivf_ann): the quality/lang-ID regex work is pure map-side, so scan
+    # parallelism is the ONLY parallelism — unsplit, the whole table's
+    # regex chain ran on one task (a real 100 TB scan has one split per
+    # file chunk and never needs this)
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     return d.select(
         "doc_id",
         T.word_count("text").alias("n_words"),
@@ -935,7 +940,15 @@ def q_fuzzy_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback (rss_template.py:186-264)."""
     from .functions.extract import fuzzy_published_ts
 
-    ev = _fuzzy_raw_cols(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # project to the two needed columns BEFORE the round-robin spread of the
+    # single local parquet split (guide §2.3: project before the exchange;
+    # §2.4 note — the regex chain is map-side, so scan parallelism is the
+    # only parallelism, and the local file is one split)
+    ev = _fuzzy_raw_cols(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "ts")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     ts, pat = fuzzy_published_ts("raw_text", "title")
     return ev.select(
         "event_id", "raw_text", "title",
@@ -1712,7 +1725,14 @@ def q_rss_items(spark: SparkSession, sf_dir: str, max_items: int = 2) -> DataFra
     `rss_template.py:140-152`) coalesced AHEAD of the C7 fuzzy chain."""
     from .functions.extract import fuzzy_published_ts, structured_ts, xml_repair
 
-    d = _synth_multifeed_xml(_docs(spark, sf_dir))
+    # spread the single local parquet split before synthesizing feed bodies:
+    # the whole parse (repair + item explode + per-item regex/date chain) is
+    # map-side, so unsplit it all ran on one task (see q_ivf_ann note)
+    d = _synth_multifeed_xml(
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     src = F.when(
         F.col("raw").rlike(_NEEDS_REPAIR), xml_repair("raw")
     ).otherwise(F.col("raw"))
@@ -2271,8 +2291,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation) — portable md5 hashing so DuckDB reproduces every bit."""
     from .operators.dedup import simhash_relational
 
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.split(T.clean_whitespace(F.lower("text")), " ").alias("tokens")
+    # spread the single local parquet split: tokenize + explode + per-token
+    # md5 + the partial bit votes all run BEFORE the one hash exchange, so
+    # unsplit they ran on one task (see q_ivf_ann note)
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id", F.split(T.clean_whitespace(F.lower("text")), " ").alias("tokens")
+        )
     )
     return simhash_relational(d, "doc_id", "tokens", portable=True)
 

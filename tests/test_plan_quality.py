@@ -160,7 +160,11 @@ def test_discover_links_single_python_stage(spark):
 
 def test_extraction_scalars_pure_jvm_no_shuffle(spark):
     """The whole extraction family (fuzzy dates, HTML date/text, XML repair,
-    robust parse) must be map-side JVM regexp work: no Python, no exchange."""
+    robust parse) must be map-side JVM regexp work: no Python, and no
+    KEYED exchange anywhere (nothing in these queries groups or joins).
+    q_fuzzy_date_parse additionally carries ONE round-robin spread of the
+    single local parquet split (scan parallelism is the only parallelism
+    for map-side work; a multi-split 100 TB scan never needs it)."""
     from newsraag_crawler_spark.queries import (
         q_fuzzy_date_parse,
         q_html_date_extract,
@@ -173,7 +177,11 @@ def test_extraction_scalars_pure_jvm_no_shuffle(spark):
               q_xml_repair, q_robust_parse):
         p = _plan(q(spark, SF), mode="simple")
         assert "PythonUDF" not in p and "ArrowEvalPython" not in p, (q, p)
-        assert "Exchange" not in p, (q, p)
+        assert "Exchange hashpartitioning" not in p, (q, p)
+        if q is q_fuzzy_date_parse:
+            assert p.count("Exchange RoundRobinPartitioning") == 1, (q, p)
+        else:
+            assert "Exchange" not in p, (q, p)
 
 
 def test_ivf_assignment_is_map_side(spark):
@@ -191,13 +199,19 @@ def test_ivf_assignment_is_map_side(spark):
 
 def test_rss_items_parse_pure_jvm(spark):
     """Multi-item feed parsing is regexp_extract_all + posexplode — all
-    whole-stage-codegen JVM work, no Python, no exchange."""
+    whole-stage-codegen JVM work, no Python, no keyed exchange (q_rss_items
+    carries one round-robin spread of the single local parquet split; see
+    test_extraction_scalars_pure_jvm_no_shuffle)."""
     from newsraag_crawler_spark.queries import q_robust_parse, q_rss_items
 
     for q in (q_rss_items, q_robust_parse):
         p = _plan(q(spark, SF), mode="simple")
         assert "PythonUDF" not in p and "ArrowEvalPython" not in p, (q, p)
-        assert "Exchange" not in p, (q, p)
+        assert "Exchange hashpartitioning" not in p, (q, p)
+        if q is q_rss_items:
+            assert p.count("Exchange RoundRobinPartitioning") == 1, (q, p)
+        else:
+            assert "Exchange" not in p, (q, p)
 
 
 def test_crawl_embedding_neardup_plan(spark):
