@@ -138,13 +138,24 @@ def srp_bucket_portable(vec_col, dim: int, n_bits: int):
     # alone cost ~0.5 s per action; indexing the 2-D literal yields the
     # identical per-bit coefficient array, so the zip_with/fold op sequence
     # (and thus every emitted bit) is unchanged
-    coeff_lit = F.lit([[float(c[i][j]) for i in range(dim)] for j in range(n_bits)])
+    # SQL-text literals, not F.lit(list): PySpark's lit() recurses into a
+    # list element-by-element (one py4j call and one CreateArray child per
+    # coefficient — ~0.4 s per bucket construction at 8×64); one parsed
+    # array(...) expression costs ~1 ms and folds to the same constant
+    coeff_lit = F.expr(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{float(c[i][j])}D" for i in range(dim)) + ")"
+            for j in range(n_bits)
+        ) + ")"
+    )
     # the per-bit weights are a second small literal and the bucket becomes
     # ONE transform/zip_with/aggregate chain instead of an n_bits-step Python
     # loop of Column ops — ~100 py4j round trips per bucket construction
     # gone, while each dot keeps the exact left-fold IEEE op sequence and
     # each bit keeps its weight (dots[j] pairs with 1<<j by position)
-    weights = F.lit([1 << j for j in range(n_bits)])
+    weights = F.expr(
+        "array(" + ", ".join(str(1 << j) for j in range(n_bits)) + ")"
+    )
     dots = F.transform(
         coeff_lit,
         lambda coeffs: F.aggregate(

@@ -64,9 +64,13 @@ def _cloned_docs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # local testdata is one small parquet file = one input split; spread the
     # CPU-heavy shingle/signature work (a real 100 TB scan has one split per
-    # file chunk and never needs this)
+    # file chunk and never needs this). Hash-partition BY doc_id rather than
+    # round-robin: consumers keyed on the doc id (the winnowing rolling-min
+    # window, the jaccard per-doc size census) then reuse THIS pre-explode
+    # exchange of ~5k doc rows instead of re-shuffling millions of exploded
+    # shingle rows (guide §2.4: same-keyed operations share one exchange)
     return d.unionByName(clones).repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
 
 
