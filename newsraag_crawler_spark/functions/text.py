@@ -185,14 +185,33 @@ def doc_fingerprint_sql(e: str) -> str:
     return portable_hash64_sql(f"lower({clean_whitespace_sql(e)})")
 
 
+def split_words(text: Column | str) -> Column:
+    """Lowercased, whitespace-normalized word array — the shared first step
+    of the shingle family. Callers should materialize THIS in its own
+    projection (``df.select(..., split_words(text).alias("_w"))``) and build
+    shingles from the column: the word array is referenced three times
+    inside ``shingles_from_words`` (size, degenerate join, slice loop), so
+    inlining the split re-runs the regex+split per reference — Catalyst's
+    CollapseProject guard keeps a non-cheap multiply-referenced alias
+    materialized, which measured ~2x on the exploded-shingle stage."""
+    return F.split(F.lower(clean_whitespace(text)), " ")
+
+
+def shingles_from_words(words: Column | str, k: int = 3) -> Column:
+    """Word k-shingles from a pre-split word-array column (see
+    split_words): transform over an index range → slice+join."""
+    w = _c(words)
+    n = F.size(w)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.array_join(w, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, k), " "))
+    )
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Word k-shingles as an array<string> (input to MinHash/Jaccard dedup).
 
-    Built from built-ins: split → transform over index range → slice+join.
+    One-expression convenience form; hot callers should two-step via
+    split_words + shingles_from_words (see split_words docstring).
     """
-    words = F.split(F.lower(clean_whitespace(text)), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n < k, F.array(F.array_join(words, " "))).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
-    )
+    return shingles_from_words(split_words(text), k)

@@ -663,11 +663,15 @@ def winnowing_fingerprints(
     re-ran the whole shingle+hash+window subtree (no exchange reuse).
     """
     from ..functions.hashing import portable_hash64
-    from ..functions.text import shingles
+    from ..functions.text import shingles_from_words, split_words
 
-    ex = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(shingles(F.col(text_col), k)).alias("pos", "g"),
+    # two-step shingling (see text.split_words): the word array materializes
+    # once per row in its own projection instead of re-splitting the text
+    # per reference inside the generator (~2x on the explode stage)
+    ws = df.select(F.col(id_col).alias("_id"), split_words(F.col(text_col)).alias("_w"))
+    ex = ws.select(
+        "_id",
+        F.posexplode(shingles_from_words(F.col("_w"), k)).alias("pos", "g"),
     ).withColumn("h", portable_hash64(F.col("g")))
     roll = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
     r = ex.select(

@@ -451,9 +451,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable hashes so DuckDB reproduces the signatures bit-for-bit."""
     from .operators.dedup import minhash_signature
 
-    d = _cloned_docs_spark(spark, sf_dir)
+    # two-step shingling (text.split_words): words materialize once per row
+    d = _cloned_docs_spark(spark, sf_dir).select(
+        "doc_id", T.split_words("text").alias("_w")
+    )
     sig = d.select(
-        "doc_id", minhash_signature(T.shingles("text", 3), 8, portable=True).alias("sig")
+        "doc_id",
+        minhash_signature(T.shingles_from_words("_w", 3), 8, portable=True).alias("sig"),
     )
     banded = sig.select(
         "doc_id",
@@ -505,7 +509,10 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical cap."""
     from .operators.dedup import ngram_jaccard_pairs
 
-    d = _cloned_docs_spark(spark, sf_dir).withColumn("shingles", T.shingles("text", 3))
+    # two-step shingling (text.split_words): words materialize once per row
+    d = _cloned_docs_spark(spark, sf_dir).select(
+        "doc_id", T.split_words("text").alias("_w")
+    ).withColumn("shingles", T.shingles_from_words("_w", 3))
     # checkpoint=True: one-shot query-layer call — the shingle table feeds
     # three consumers and would re-execute per consumer lazily (2.4x); the
     # operator DEFAULT is lazy so constructing it never runs a job
@@ -821,7 +828,14 @@ def q_bloom_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the plain NOT EXISTS, so the gate proves Bloom exactness."""
     from .operators.dedup import build_bloom_shards, seen_filter_two_phase
 
+    # materialize the keyed frontier ONCE (eager checkpoint, one-shot query
+    # layer — same opt-in rule as dedup_ngram_jaccard): it feeds four
+    # subtrees (shard build, probe, confirm, final anti-join) and lazily
+    # each re-ran the URL synthesis + SURT regex chain (A/B: steady 1.35 s
+    # lazy vs 1.0 s checkpointed; a round-robin spread instead measured
+    # WORSE — the extra exchange costs more than the parallelism gains)
     d = _docs_with_url(spark, sf_dir).withColumn("key", U.surt_url("url"))
+    d = d.localCheckpoint(eager=True)
     seen = d.filter(F.pmod("doc_id", F.lit(3)) == 0).select("key")
     shards = build_bloom_shards(seen, n_shards=16, n_bits=1 << 16, n_hashes=5)
     fresh = seen_filter_two_phase(
@@ -847,7 +861,10 @@ def q_cuckoo_seen_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     MUST equal the plain exact anti-join, which is the oracle."""
     from .operators.dedup import build_cuckoo_shards, probe_cuckoo
 
+    # keyed frontier checkpointed once — same rationale/measurement as
+    # q_bloom_seen_filter (four consumers of the SURT chain)
     d = _docs_with_url(spark, sf_dir).withColumn("key", U.surt_url("url"))
+    d = d.localCheckpoint(eager=True)
     seen = d.filter(F.pmod("doc_id", F.lit(3)) == 0).select("key")
     shards = build_cuckoo_shards(seen, n_shards=16, n_buckets=1 << 12)
     # same algebra as seen_filter_two_phase: a row is dropped iff its key is
