@@ -203,11 +203,16 @@ def srp_topk_portable(
     )
     q = q.select(qid_col, qvec_col, F.explode(probes).alias("bucket"))
     cand = c.join(F.broadcast(q), "bucket")
+    # no dedup needed: each corpus vector has exactly ONE bucket and the
+    # n_bits+1 probe values per query are pairwise distinct (identity +
+    # single-bit flips), so a (query, vec) pair can match at most one probe
+    # row — the former dropDuplicates was a semantically dead exchange
+    # (guide §2.4; the DuckDB mirror has no DISTINCT either)
     scored = cand.select(
         F.col(qid_col),
         F.col(id_col),
         cosine_sim(F.col(vec_col), F.col(qvec_col)).alias("cosine"),
-    ).dropDuplicates([qid_col, id_col])
+    )
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -233,11 +238,14 @@ def srp_topk(
     )
     q = q.select(qid_col, qvec_col, F.explode(probes).alias("bucket"))
     cand = c.join(F.broadcast(q), "bucket")
+    # one bucket per corpus vector + pairwise-distinct probe values ⇒ a
+    # (query, vec) pair matches at most once; no dedup exchange needed
+    # (same argument as srp_topk_portable)
     scored = cand.select(
         F.col(qid_col),
         F.col(id_col),
         cosine_sim(F.col(vec_col), F.col(qvec_col)).alias("cosine"),
-    ).dropDuplicates([qid_col, id_col])
+    )
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -332,10 +340,15 @@ def ivf_topk(
         .select(qid_col, qvec_col, F.coalesce(F.col("cell"), F.lit(-1)).alias("cell"))
     )
     cand = assigned.join(F.broadcast(probes), "cell")
+    # cells PARTITION the corpus (each vector is assigned exactly one cell)
+    # and a query's n_probe cells are distinct (row_number over distinct
+    # centroid rows), so a (query, vec) candidate appears at most once —
+    # the former dropDuplicates was a semantically dead exchange (guide
+    # §2.4; the DuckDB mirror joins without DISTINCT)
     scored = cand.select(
         F.col(qid_col),
         F.col(id_col),
         cosine_sim(F.col(vec_col), F.col(qvec_col)).alias("cosine"),
-    ).dropDuplicates([qid_col, id_col])
+    )
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -2610,11 +2610,14 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = corpus.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket"
     )
+    # no pair dedup needed: id_b carries ONE bucket and id_a's 9 probe
+    # values are pairwise distinct, so (id_a, id_b) joins at most once —
+    # the former dropDuplicates was a dead exchange (guide §2.4; the
+    # DuckDB mirror joins on Hamming ≤ 1 without DISTINCT)
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine_sim(F.col("va"), F.col("vb")).alias("cos"))
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cos") >= 0.98)
     )
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
@@ -2695,11 +2698,12 @@ def q_crawl_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(probes).alias("bucket"),
     )
     b = emb.select(F.col("seq").alias("seq_b"), F.col("v").alias("vb"), "bucket")
+    # same dead-exchange removal as q_dedup_embedding: one bucket per
+    # seq_b, pairwise-distinct probes per seq_a ⇒ each pair joins once
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("seq_a") < F.col("seq_b"))
         .select("seq_a", "seq_b", cosine_sim(F.col("va"), F.col("vb")).alias("cos"))
-        .dropDuplicates(["seq_a", "seq_b"])
         .filter(F.col("cos") >= 0.98)
     )
     return pairs.select("seq_a", "seq_b", F.round("cos", 6).alias("cosine"))
