@@ -1836,7 +1836,12 @@ def q_robust_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     error string."""
     from .functions.extract import xml_repair
 
-    d = _synth_multifeed_xml(_docs(spark, sf_dir))
+    # same single-split spread as q_rss_items (map-side regex family)
+    d = _synth_multifeed_xml(
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     looks_rss = F.col("raw").rlike(_RSS_SHAPE)
     needs_repair = F.col("raw").rlike(_NEEDS_REPAIR)
     looks_html = F.col("raw").rlike("(?i)<html")

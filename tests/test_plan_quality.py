@@ -178,7 +178,7 @@ def test_extraction_scalars_pure_jvm_no_shuffle(spark):
         p = _plan(q(spark, SF), mode="simple")
         assert "PythonUDF" not in p and "ArrowEvalPython" not in p, (q, p)
         assert "Exchange hashpartitioning" not in p, (q, p)
-        if q is q_fuzzy_date_parse:
+        if q in (q_fuzzy_date_parse, q_robust_parse):
             assert p.count("Exchange RoundRobinPartitioning") == 1, (q, p)
         else:
             assert "Exchange" not in p, (q, p)
@@ -208,10 +208,7 @@ def test_rss_items_parse_pure_jvm(spark):
         p = _plan(q(spark, SF), mode="simple")
         assert "PythonUDF" not in p and "ArrowEvalPython" not in p, (q, p)
         assert "Exchange hashpartitioning" not in p, (q, p)
-        if q is q_rss_items:
-            assert p.count("Exchange RoundRobinPartitioning") == 1, (q, p)
-        else:
-            assert "Exchange" not in p, (q, p)
+        assert p.count("Exchange RoundRobinPartitioning") == 1, (q, p)
 
 
 def test_crawl_embedding_neardup_plan(spark):
