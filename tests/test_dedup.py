@@ -221,3 +221,30 @@ def test_probe_paths_agree(spark, monkeypatch):
     cg_c = dedup.probe_cuckoo(mixed, cshards, n_shards=NS, n_buckets=1 << 10)
     for jvm, cg in ((jvm_b, cg_b), (jvm_c, cg_c)):
         assert jvm.exceptAll(cg).isEmpty() and cg.exceptAll(jvm).isEmpty()
+
+
+def test_two_step_shingles_equal_one_expression(spark):
+    """r6: the shingle family two-steps via split_words +
+    shingles_from_words so the word array materializes once per row; the
+    composed expression must stay value-identical to the one-shot
+    shingles() on every shape (normal, short, single-word, empty-ish)."""
+    from newsraag_crawler_spark.functions.text import (
+        shingles,
+        shingles_from_words,
+        split_words,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "two words"),
+        (2, "one"),
+        (3, "  spaced   out\ttokens \n here "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = df.select("doc_id", shingles("text", 3).alias("s")).collect()
+    b = df.select(
+        "doc_id", split_words("text").alias("_w")
+    ).select("doc_id", shingles_from_words("_w", 3).alias("s")).collect()
+    assert sorted((r.doc_id, tuple(r.s)) for r in a) == sorted(
+        (r.doc_id, tuple(r.s)) for r in b
+    )

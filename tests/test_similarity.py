@@ -88,3 +88,47 @@ def test_ivf_topk_good_recall_on_clusters(spark):
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.8, recall
+
+
+def test_bucket_candidates_are_unique_pairs(spark):
+    """The r6 dead-exchange removal rests on this invariant: a corpus vector
+    carries exactly ONE bucket and the multiprobe values per query are
+    pairwise distinct, so the candidate join can never produce a duplicate
+    (query, vec) pair — pinned here so a future probe-scheme change that
+    breaks it fails loudly instead of silently duplicating rank inputs."""
+    from newsraag_crawler_spark.operators.similarity import (
+        srp_bucket_portable,
+    )
+
+    df, _ = _emb_df(spark, n=300)
+    n_bits = 6
+    c = df.withColumn("bucket", srp_bucket_portable(F.col("embedding"), DIM, n_bits))
+    q = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        srp_bucket_portable(F.col("embedding"), DIM, n_bits).alias("_qb"),
+    )
+    probes = q.select(
+        "query_id",
+        F.explode(
+            F.array(
+                F.col("_qb"),
+                *[F.col("_qb").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
+            )
+        ).alias("bucket"),
+    )
+    cand = c.join(probes, "bucket").groupBy("query_id", "vec_id").count()
+    assert cand.filter(F.col("count") > 1).isEmpty()
+
+
+def test_ivf_candidates_are_unique_pairs(spark):
+    """Same invariant for IVF: cells partition the corpus and the probed
+    cells per query are distinct, so candidates are unique pairs."""
+    from newsraag_crawler_spark.operators.similarity import ivf_topk
+
+    df, _ = _emb_df(spark, n=300)
+    queries = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ivf_topk(df, queries, k=300, n_cells=8, n_probe=3)
+    dup = got.groupBy("query_id", "vec_id").count().filter(F.col("count") > 1)
+    assert dup.isEmpty()
